@@ -1,0 +1,15 @@
+"""linref_spark — a from-scratch PySpark-native linear-referencing engine.
+
+Re-creates the query semantics of ``tariqshihadah/linref`` (reference at
+/root/reference, studied not ported) as distributed DataFrame operators:
+route-keyed interval joins, closure-aware intersect/overlay, windowed event
+engineering (dissolve/resegment/separate/integrate), weighted aggregation,
+sliding-window distribute, numpy-kernel M-geometry UDFs, and deterministic
+grid tiling for spatial joins — plus the web-scale text-pipeline operators
+(dedup, language-ID, quality, ANN) the 100 TB target needs.
+"""
+
+from linref_spark.lrs import LRS, EVENT_ID
+
+__all__ = ["LRS", "EVENT_ID"]
+__version__ = "0.1.0"

@@ -1,0 +1,345 @@
+"""Interval relate joins: the engine's core.
+
+From-scratch Spark re-expression of linref's ``EventsRelation`` matrices
+(``/root/reference/linref/events/relate.py``). The reference materializes a
+sparse m-by-n matrix over the row cross product (``relate.py:294-306``); the
+distributed analogue is simply a *pair table*:
+
+- ``intersect_pairs``  -> DataFrame(left_id, right_id)            [boolean matrix]
+- ``overlay_pairs``    -> DataFrame(left_id, right_id, weight)    [float matrix]
+
+Semantics ported exactly (cited per function); execution is Spark-first:
+
+- The reference's ``_grouped_operation_wrapper`` (``relate.py:1821-1919``)
+  loops routes in Python; here the route key IS the join key, so Catalyst's
+  shuffled hash / sort-merge join performs the same group partitioning for
+  free, with AQE handling sizing and skew.
+- The reference's ``_chunked_operation_wrapper`` (``relate.py:1921-1956``)
+  bounds memory by tiling the dense cross product; Spark partitions rows, so
+  it is unnecessary.
+- The per-route theta (interval overlap) part executes, under plain equi-join
+  on route, as a per-key filter — fine when routes are small, quadratic when
+  a route is hot. ``strategy='binned'`` adds a *measure-axis bin* to the join
+  key: each interval explodes to bins floor(beg/B)..floor(end/B), pairs join
+  on (route, bin), and each candidate pair is counted exactly once in its
+  *ownership bin* ``floor(greatest(l.beg, r.beg)/B)`` (a deterministic
+  dedupe; any true match's ownership bin lies in both covers). This bounds
+  per-task pair counts by bin occupancy instead of route size — the 100 TB
+  scale path called out in SURVEY.md §4.
+
+All expressions are JVM-side (no UDFs anywhere in the join).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linref_spark.events.frame import MOD_EDGE, with_modified_edges
+from linref_spark.lrs import EVENT_ID, LRS
+from linref_spark.relate.profile import Antideriv, resolve_profile
+
+LEFT_ID = "left_id"
+RIGHT_ID = "right_id"
+WEIGHT = "weight"
+
+
+@dataclass(frozen=True)
+class JoinStrategy:
+    """Physical strategy knobs for the relate join (results unaffected).
+
+    - ``kind='equi'``: join on route keys only; theta evaluated as a filter.
+    - ``kind='binned'``: add measure-axis bins of width ``bin_size`` to the
+      join key (scale path for hot routes / ungrouped data).
+    - ``broadcast``: broadcast the right side (use when right is a small
+      dimension, e.g. dissolved route geometry).
+    """
+
+    kind: str = "equi"
+    bin_size: Optional[float] = None
+    broadcast: bool = False
+
+    def __post_init__(self):
+        if self.kind not in ("equi", "binned"):
+            raise ValueError("strategy kind must be 'equi' or 'binned'")
+        if self.kind == "binned" and not (self.bin_size and self.bin_size > 0):
+            raise ValueError("binned strategy requires a positive bin_size")
+
+
+EQUI = JoinStrategy("equi")
+
+
+def _require_event_id(df: DataFrame, side: str) -> None:
+    if EVENT_ID not in df.columns:
+        raise ValueError(
+            f"{side} frame needs an '{EVENT_ID}' column; use events.frame.add_event_id"
+        )
+
+
+def _narrow(df: DataFrame, lrs: LRS, side: str, mod_edges: bool) -> DataFrame:
+    """Project the minimal relate columns with side-prefixed aliases.
+
+    Keeping the join input narrow means the shuffle moves only
+    (id, keys, measures[, mod_edge]) — attributes re-join by id afterwards.
+    """
+    _require_event_id(df, side)
+    if mod_edges and lrs.closed_mod and lrs.is_linear:
+        df = with_modified_edges(df, lrs, sorted_within_group=lrs.is_grouped)
+    cols = [F.col(EVENT_ID).alias(f"{side}_id")]
+    for i, k in enumerate(lrs.key_cols):
+        cols.append(F.col(k).alias(f"{side}_g{i}"))
+    if lrs.loc_col:
+        cols.append(F.col(lrs.loc_col).cast("double").alias(f"{side}_loc"))
+    if lrs.beg_col:
+        cols.append(F.col(lrs.beg_col).cast("double").alias(f"{side}_beg"))
+        cols.append(F.col(lrs.end_col).cast("double").alias(f"{side}_end"))
+    if mod_edges and lrs.closed_mod and lrs.is_linear:
+        cols.append(F.col(MOD_EDGE).alias(f"{side}_mod"))
+    return df.select(*cols)
+
+
+def _group_condition(llrs: LRS, rlrs: LRS) -> Optional[Column]:
+    if not llrs.is_grouped:
+        return None
+    cond = None
+    for i in range(len(llrs.key_cols)):
+        c = F.col(f"l_g{i}") == F.col(f"r_g{i}")
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _candidates_binned(
+    lnarrow: DataFrame,
+    rnarrow: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    strategy: JoinStrategy,
+) -> DataFrame:
+    """Binned candidate production with explicit ownership-bin dedupe."""
+    b = float(strategy.bin_size)
+    rside = F.broadcast(rnarrow) if strategy.broadcast else rnarrow
+    group_cond = _group_condition(llrs, rlrs)
+
+    def with_bins(df: DataFrame, lrs: LRS, side: str) -> DataFrame:
+        if lrs.is_linear:
+            lo = F.floor(F.col(f"{side}_beg") / b)
+            hi = F.floor(F.col(f"{side}_end") / b)
+            return df.withColumn(f"{side}_bin", F.explode(F.sequence(lo, hi)))
+        return df.withColumn(f"{side}_bin", F.floor(F.col(f"{side}_loc") / b))
+
+    lb = with_bins(lnarrow, llrs, "l")
+    rb = with_bins(rside, rlrs, "r")
+    cond = F.col("l_bin") == F.col("r_bin")
+    if group_cond is not None:
+        cond = cond & group_cond
+    joined = lb.join(rb, on=cond, how="inner")
+
+    if llrs.is_linear and rlrs.is_linear:
+        anchor = F.greatest(F.col("l_beg"), F.col("r_beg"))
+    elif llrs.is_linear and rlrs.is_point:
+        anchor = F.col("r_loc")
+    else:
+        anchor = F.col("l_loc")
+    joined = joined.where(F.col("l_bin") == F.floor(anchor / b))
+    return joined.drop("l_bin", "r_bin")
+
+
+def candidates(
+    left: DataFrame,
+    right: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    strategy: JoinStrategy = EQUI,
+    mod_edges: bool = False,
+) -> DataFrame:
+    """Candidate pair table (exact theta predicate NOT yet applied)."""
+    llrs.check_compatibility(rlrs)
+    lnarrow = _narrow(left, llrs, "l", mod_edges)
+    rnarrow = _narrow(right, rlrs, "r", mod_edges)
+    if strategy.kind == "binned":
+        return _candidates_binned(lnarrow, rnarrow, llrs, rlrs, strategy)
+    rside = F.broadcast(rnarrow) if strategy.broadcast else rnarrow
+    group_cond = _group_condition(llrs, rlrs)
+    if group_cond is not None:
+        return lnarrow.join(rside, on=group_cond, how="inner")
+    return lnarrow.crossJoin(rside)
+
+
+# ---------------------------------------------------------------------------
+# Exact predicates (closure semantics)
+# ---------------------------------------------------------------------------
+
+
+def _ll_intersect_pred(llrs: LRS, rlrs: LRS, enforce_edges: bool) -> Column:
+    """linear x linear intersect, ``relate.py:2192-2273``.
+
+    Base: strict overlap ``l.end > r.beg AND l.beg < r.end``. With
+    ``enforce_edges``, touching endpoints count per the combined-closure rules
+    (skip entirely when either side 'neither' or both same-side closed;
+    ``l.beg == r.end`` tested when l.closed != 'right' and r.closed != 'left',
+    gated by ``modified_edges`` for ``*_mod``; mirrored for l.end == r.beg).
+    """
+    lb, le = F.col("l_beg"), F.col("l_end")
+    rb, re_ = F.col("r_beg"), F.col("r_end")
+    pred = (le > rb) & (lb < re_)
+    if not enforce_edges:
+        return pred
+    lc, rc = llrs.closed, rlrs.closed
+    test_edges = not (
+        (lc == "neither")
+        or (rc == "neither")
+        or (lc == "left" and rc == "left")
+        or (lc == "right" and rc == "right")
+    )
+    if not test_edges:
+        return pred
+    if lc != "right" and rc != "left":
+        e1 = lb == re_
+        if lc == "right_mod":
+            e1 = e1 & F.col("l_mod")
+        if rc == "left_mod":
+            e1 = e1 & F.col("r_mod")
+        pred = pred | e1
+    if lc != "left" and rc != "right":
+        e2 = le == rb
+        if lc == "left_mod":
+            e2 = e2 & F.col("l_mod")
+        if rc == "right_mod":
+            e2 = e2 & F.col("r_mod")
+        pred = pred | e2
+    return pred
+
+
+def _pl_intersect_pred(
+    point_side: str, linear_side: str, linear_lrs: LRS, enforce_edges: bool
+) -> Column:
+    """point x linear intersect, ``relate.py:2141-2188``.
+
+    Closure of the *linear* side decides edge inclusion; ``*_mod`` closures
+    additionally accept the group-terminal edge where ``modified_edges`` is
+    set (``relate.py:2176-2183``).
+    """
+    loc = F.col(f"{point_side}_loc")
+    beg = F.col(f"{linear_side}_beg")
+    end = F.col(f"{linear_side}_end")
+    base = linear_lrs.closed_base
+    lo = loc >= beg if base in ("left", "both") else loc > beg
+    hi = loc <= end if base in ("right", "both") else loc < end
+    pred = lo & hi
+    if linear_lrs.closed_mod and enforce_edges:
+        mod = F.col(f"{linear_side}_mod")
+        if base == "left":
+            pred = pred | ((loc == end) & mod)
+        elif base == "right":
+            pred = pred | ((loc == beg) & mod)
+    return pred
+
+
+def intersect_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    enforce_edges: bool = True,
+    strategy: JoinStrategy = EQUI,
+) -> DataFrame:
+    """Boolean relation as a pair table (left_id, right_id).
+
+    Dispatch across point/linear shapes mirrors ``EventsRelation.intersect``
+    (``relate.py:655-706``), including linear-x-point as the transpose of
+    point-x-linear.
+    """
+    need_mod = enforce_edges and (llrs.closed_mod or rlrs.closed_mod)
+    cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=need_mod)
+    if llrs.is_point and rlrs.is_point:
+        pred = F.col("l_loc") == F.col("r_loc")
+    elif llrs.is_point and rlrs.is_linear:
+        pred = _pl_intersect_pred("l", "r", rlrs, enforce_edges)
+    elif llrs.is_linear and rlrs.is_point:
+        pred = _pl_intersect_pred("r", "l", llrs, enforce_edges)
+    else:
+        pred = _ll_intersect_pred(llrs, rlrs, enforce_edges)
+    return cand.where(pred).select(
+        F.col("l_id").alias(LEFT_ID), F.col("r_id").alias(RIGHT_ID)
+    )
+
+
+def overlay_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    normalize: bool = True,
+    norm_by: str = "right",
+    profile: Union[None, str, Antideriv] = None,
+    strategy: JoinStrategy = EQUI,
+    keep_zeros: bool = False,
+) -> DataFrame:
+    """Float relation (left_id, right_id, weight): overlap lengths.
+
+    Weight formula ported verbatim from ``overlay`` (``relate.py:2014-2030``):
+    ``clip(min(l.end - r.beg, r.end - l.beg, min(len_l, len_r)), 0, inf)`` —
+    the identical (non-algebraically-rewritten) expression, so float64
+    arithmetic matches the reference bit-for-bit. Normalization divides by
+    the norm_by side's length (zero-length -> weight 0 via the where-inf
+    trick, ``relate.py:2077-2084``); profile weighting integrates the profile
+    antiderivative over the normalized overlap span (``relate.py:2034-2071``).
+
+    Zero-weight pairs are dropped by default — the reference stores results
+    sparsely (``sp.coo_array`` keeps only nonzeros, ``relate.py:1936``), so
+    downstream argmax-style aggregations never see them.
+    """
+    if norm_by not in ("right", "left"):
+        raise ValueError("norm_by must be 'right' or 'left'")
+    if not (llrs.is_linear and rlrs.is_linear):
+        raise ValueError("overlay requires linear events on both sides")
+    antideriv = resolve_profile(profile)
+
+    cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=False)
+    lb, le = F.col("l_beg"), F.col("l_end")
+    rb, re_ = F.col("r_beg"), F.col("r_end")
+    llen, rlen = le - lb, re_ - rb
+
+    overlap = F.least(le - rb, re_ - lb, F.least(llen, rlen))
+    overlap = F.greatest(overlap, F.lit(0.0))
+
+    if normalize:
+        if antideriv is not None:
+            ov_start = F.greatest(lb, rb)
+            ov_end = F.least(le, re_)
+            has_overlap = ov_end > ov_start
+            ebeg = rb if norm_by == "right" else lb
+            elen = rlen if norm_by == "right" else llen
+            safe_len = F.when(elen == 0.0, F.lit(float("inf"))).otherwise(elen)
+            t0 = F.least(F.greatest((ov_start - ebeg) / safe_len, F.lit(0.0)), F.lit(1.0))
+            t1 = F.least(F.greatest((ov_end - ebeg) / safe_len, F.lit(0.0)), F.lit(1.0))
+            weight = F.when(has_overlap, antideriv(t1) - antideriv(t0)).otherwise(
+                F.lit(0.0)
+            )
+        else:
+            denom = rlen if norm_by == "right" else llen
+            safe = F.when(denom == 0.0, F.lit(float("inf"))).otherwise(denom)
+            weight = overlap / safe
+    else:
+        weight = overlap
+
+    out = cand.select(
+        F.col("l_id").alias(LEFT_ID),
+        F.col("r_id").alias(RIGHT_ID),
+        weight.cast("double").alias(WEIGHT),
+    )
+    if not keep_zeros:
+        out = out.where(F.col(WEIGHT) != 0.0)
+    return out
+
+
+def equal_groups_pairs(
+    left: DataFrame, right: DataFrame, llrs: LRS, rlrs: LRS,
+    strategy: JoinStrategy = EQUI,
+) -> DataFrame:
+    """Plain route-equi pair table (``relate.py:2090-2110``)."""
+    cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=False)
+    return cand.select(F.col("l_id").alias(LEFT_ID), F.col("r_id").alias(RIGHT_ID))

@@ -1,0 +1,323 @@
+"""Golden-value parity tests against linref's relate/aggregation fixtures.
+
+Expected cells transcribed from
+``/root/reference/linref/tests/test_events_relate.py`` (cited per test).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from linref_spark.relate import agg as A
+from linref_spark.relate.join import (
+    EQUI,
+    JoinStrategy,
+    intersect_pairs,
+    overlay_pairs,
+)
+from tests.conftest import col_as_array, make_events, pairs_to_matrix
+
+BINNED = JoinStrategy("binned", bin_size=7.0)  # deliberately odd width
+
+
+# --- TestOverlay fixture (test_events_relate.py:23-134) ---------------------
+
+
+@pytest.fixture(scope="module")
+def overlay_fixture(spark):
+    left, llrs = make_events(
+        spark, begs=[0, 10, 20], ends=[10, 20, 30], groups=[1, 1, 2]
+    )
+    right, rlrs = make_events(
+        spark, begs=[5, 15, 25], ends=[15, 25, 35], groups=[1, 1, 2]
+    )
+    return left, llrs, right, rlrs
+
+
+@pytest.mark.parametrize("strategy", [EQUI, BINNED])
+def test_overlay_basic(overlay_fixture, strategy):
+    left, llrs, right, rlrs = overlay_fixture
+    mat = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, normalize=False, strategy=strategy),
+        3, 3, weight=True,
+    )
+    assert mat[0, 0] == pytest.approx(5.0)
+    assert mat[1, 0] == pytest.approx(5.0)
+    assert mat[1, 1] == pytest.approx(5.0)
+    assert mat[2, 2] == pytest.approx(5.0)
+    assert mat[2, 1] == 0.0  # cross-group
+
+
+def test_overlay_normalized_both_sides(overlay_fixture):
+    left, llrs, right, rlrs = overlay_fixture
+    for norm_by in ("right", "left"):
+        mat = pairs_to_matrix(
+            overlay_pairs(left, right, llrs, rlrs, normalize=True, norm_by=norm_by),
+            3, 3, weight=True,
+        )
+        assert mat[0, 0] == pytest.approx(0.5)
+        assert mat[1, 0] == pytest.approx(0.5)
+        assert mat[1, 1] == pytest.approx(0.5)
+
+
+def test_overlay_varying_lengths_norm_right(spark):
+    left, llrs = make_events(spark, begs=[0, 10, 20], ends=[15, 25, 35])
+    right, rlrs = make_events(spark, begs=[5, 20, 30], ends=[10, 25, 40])
+    mat = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, normalize=True, norm_by="right"),
+        3, 3, weight=True,
+    )
+    assert mat[0, 0] == pytest.approx(1.0)
+    assert mat[1, 1] == pytest.approx(1.0)
+    assert mat[2, 1] == pytest.approx(1.0)
+    assert mat[2, 2] == pytest.approx(0.5)
+
+
+def test_overlay_varying_lengths_norm_left(spark):
+    left, llrs = make_events(spark, begs=[0, 10, 20], ends=[10, 22, 40])
+    right, rlrs = make_events(spark, begs=[5, 15, 30], ends=[15, 25, 35])
+    mat = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, normalize=True, norm_by="left"),
+        3, 3, weight=True,
+    )
+    assert mat[0, 0] == pytest.approx(0.5)
+    assert mat[1, 0] == pytest.approx(5.0 / 12.0)
+    assert mat[1, 1] == pytest.approx(7.0 / 12.0)
+    assert mat[2, 1] == pytest.approx(0.25)
+    assert mat[2, 2] == pytest.approx(0.25)
+
+
+def test_overlay_no_weight_at_touching_edges(spark):
+    # test_events_relate.py:213-233 — touching intervals get zero overlay
+    left, llrs = make_events(spark, begs=[0, 20], ends=[10, 30])
+    right, rlrs = make_events(spark, begs=[10, 30], ends=[20, 40])
+    mat = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, normalize=False), 2, 2, weight=True
+    )
+    assert np.all(mat == 0.0)
+
+
+# --- Closure sensitivity (test_events_relate.py:382-522) --------------------
+
+
+@pytest.mark.parametrize("strategy", [EQUI, BINNED])
+def test_point_linear_left_closed(spark, strategy):
+    pts, plrs = make_events(spark, locs=[0, 10])
+    lin, llrs = make_events(spark, begs=[0], ends=[10], closed="left")
+    mat = pairs_to_matrix(
+        intersect_pairs(pts, lin, plrs, llrs, strategy=strategy), 2, 1
+    )
+    assert mat[0, 0] and not mat[1, 0]
+
+
+def test_point_linear_right_closed(spark):
+    pts, plrs = make_events(spark, locs=[0, 10])
+    lin, llrs = make_events(spark, begs=[0], ends=[10], closed="right")
+    mat = pairs_to_matrix(intersect_pairs(pts, lin, plrs, llrs), 2, 1)
+    assert not mat[0, 0] and mat[1, 0]
+
+
+def test_point_linear_groups(spark):
+    pts, plrs = make_events(spark, locs=[5, 5], groups=[1, 2])
+    lin, llrs = make_events(
+        spark, begs=[0, 0], ends=[10, 10], groups=[1, 2], closed="both"
+    )
+    mat = pairs_to_matrix(intersect_pairs(pts, lin, plrs, llrs), 2, 2)
+    assert mat[0, 0] and mat[1, 1] and not mat[0, 1] and not mat[1, 0]
+
+
+def test_linear_linear_basic_neither(spark):
+    left, llrs = make_events(spark, begs=[0, 10, 20], ends=[10, 20, 30], closed="neither")
+    right, rlrs = make_events(spark, begs=[5, 15, 25], ends=[15, 25, 35], closed="neither")
+    mat = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs), 3, 3)
+    exp = np.array(
+        [[1, 0, 0], [1, 1, 0], [0, 1, 1]], dtype=bool
+    )
+    assert np.array_equal(mat, exp)
+
+
+@pytest.mark.parametrize("strategy", [EQUI, BINNED])
+def test_linear_linear_touching_both_closed(spark, strategy):
+    left, llrs = make_events(spark, begs=[0, 10], ends=[10, 20], closed="both")
+    right, rlrs = make_events(spark, begs=[10, 20], ends=[20, 30], closed="both")
+    mat = pairs_to_matrix(
+        intersect_pairs(left, right, llrs, rlrs, strategy=strategy), 2, 2
+    )
+    assert mat[0, 0] and mat[1, 1]
+
+
+def test_linear_linear_touching_neither_right(spark):
+    left, llrs = make_events(spark, begs=[0, 20], ends=[10, 30], closed="both")
+    right, rlrs = make_events(spark, begs=[10, 30], ends=[20, 40], closed="neither")
+    mat = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs), 2, 2)
+    assert not mat[0, 0] and not mat[1, 1]
+
+
+def test_linear_linear_groups(spark):
+    left, llrs = make_events(
+        spark, begs=[0, 0], ends=[10, 10], groups=[1, 2], closed="both"
+    )
+    right, rlrs = make_events(
+        spark, begs=[5, 5], ends=[15, 15], groups=[1, 2], closed="both"
+    )
+    mat = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs), 2, 2)
+    assert mat[0, 0] and mat[1, 1] and not mat[0, 1] and not mat[1, 0]
+
+
+# --- Aggregation fixture (test_events_relate.py:680-856) --------------------
+
+
+@pytest.fixture(scope="module")
+def agg_fixture(spark):
+    left, llrs = make_events(
+        spark, begs=[0, 10, 20, 30], ends=[10, 20, 30, 40], groups=[1, 1, 2, 2]
+    )
+    right, rlrs = make_events(
+        spark,
+        begs=[5, 15, 25],
+        ends=[15, 25, 35],
+        groups=[1, 1, 2],
+        extra={"val": [10.0, 20.0, 30.0]},
+    )
+    ipairs = intersect_pairs(left, right, llrs, rlrs).cache()
+    opairs = overlay_pairs(left, right, llrs, rlrs, normalize=True, norm_by="right").cache()
+    return left, right, ipairs, opairs
+
+
+def test_count_axis1(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(A.agg_count(ipairs, left, axis=1), "count", 4)
+    assert list(out) == [1, 2, 1, 1]
+
+
+def test_count_axis0(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(A.agg_count(ipairs, right, axis=0), "count", 3)
+    assert list(out) == [2, 1, 2]
+
+
+def test_sum_with_overlay(agg_fixture):
+    left, right, _, opairs = agg_fixture
+    out = col_as_array(
+        A.agg_sum(opairs, left, right, "val", axis=1, out_col="s"), "s", 4
+    )
+    assert [pytest.approx(v) for v in [5.0, 15.0, 15.0, 15.0]] == list(out)
+
+
+def test_sum_with_intersect(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(
+        A.agg_sum(ipairs, left, right, "val", axis=1, out_col="s"), "s", 4
+    )
+    assert [pytest.approx(v) for v in [10.0, 30.0, 30.0, 30.0]] == list(out)
+
+
+def test_mean_with_overlay(agg_fixture):
+    left, right, _, opairs = agg_fixture
+    out = col_as_array(
+        A.agg_mean(opairs, left, right, "val", axis=1, out_col="m"), "m", 4
+    )
+    assert [pytest.approx(v) for v in [10.0, 15.0, 30.0, 30.0]] == list(out)
+
+
+def test_first_last(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    first = col_as_array(
+        A.agg_first(ipairs, left, right, "val", axis=1, out_col="f"), "f", 4
+    )
+    last = col_as_array(
+        A.agg_last(ipairs, left, right, "val", axis=1, out_col="l"), "l", 4
+    )
+    assert list(first[:3]) == [10.0, 10.0, 30.0]
+    assert list(last[:3]) == [10.0, 20.0, 30.0]
+
+
+def test_single_out_of_bounds_is_null(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(
+        A.agg_single(ipairs, left, right, "val", index=1, axis=1, out_col="s"), "s", 4
+    )
+    # only left[1] has a 2nd match (right[1] -> 20.0); others NULL
+    assert out[1] == 20.0
+    assert out[0] is None and out[2] is None and out[3] is None
+
+
+def test_list_aggregation(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(
+        A.agg_list(ipairs, left, right, "val", axis=1, out_col="lst"), "lst", 4
+    )
+    assert list(out[0]) == [10.0]
+    assert sorted(out[1]) == [10.0, 20.0]
+
+
+def test_set_aggregation(spark, agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    right_dupes = right.withColumn(
+        "val2",
+        right["val"] * 0 + 10.0,  # [10, 10, 30]-ish; use explicit mapping below
+    )
+    # explicit duplicate data [10.0, 10.0, 30.0] per reference test
+    from pyspark.sql import functions as F
+
+    right_dupes = right.withColumn(
+        "val2", F.when(F.col("event_id") == 2, 30.0).otherwise(10.0)
+    )
+    out = col_as_array(
+        A.agg_set(ipairs, left, right_dupes, "val2", axis=1, out_col="s"), "s", 4
+    )
+    assert len(out[1]) == 1 and out[1][0] == 10.0
+
+
+def test_mode_aggregation(agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = col_as_array(
+        A.agg_mode(ipairs, left, right, "val", axis=1, out_col="m"), "m", 4
+    )
+    # equal weights -> tie breaks to smallest value (sorted-unique argmax)
+    assert out[1] in (10.0, 20.0) and out[1] == 10.0
+    assert out[0] == 10.0 and out[2] == 30.0 and out[3] == 30.0
+
+
+def test_sum_conserve(agg_fixture):
+    # conserve=True normalizes each source event's weights to sum 1 so the
+    # total value is preserved (relate.py:1085-1092)
+    left, right, _, opairs = agg_fixture
+    out = col_as_array(
+        A.agg_sum(opairs, left, right, "val", axis=1, conserve=True, out_col="s"),
+        "s", 4,
+    )
+    total = sum(v for v in out if v is not None and not math.isnan(v))
+    # right[0] fully distributed (10), right[1] half-matched -> 20 (all its
+    # matched weight goes to left[1]), right[2] -> 30: total 60
+    assert total == pytest.approx(60.0)
+
+
+# --- binned strategy equivalence --------------------------------------------
+
+
+@pytest.mark.parametrize("closed", ["left", "right", "both", "neither", "left_mod", "right_mod"])
+def test_binned_equals_equi_linear(spark, closed):
+    left, llrs = make_events(
+        spark,
+        begs=[0, 5, 10, 10, 20, 0], ends=[10, 15, 20, 18, 30, 3],
+        groups=[1, 1, 1, 2, 2, 2], closed=closed,
+    )
+    right, rlrs = make_events(
+        spark,
+        begs=[10, 0, 18, 3, 25, 30], ends=[20, 5, 25, 10, 35, 40],
+        groups=[1, 1, 2, 2, 2, 1], closed=closed,
+    )
+    a = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs, strategy=EQUI), 6, 6)
+    b = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs, strategy=BINNED), 6, 6)
+    assert np.array_equal(a, b)
+    wa = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, strategy=EQUI), 6, 6, weight=True
+    )
+    wb = pairs_to_matrix(
+        overlay_pairs(left, right, llrs, rlrs, strategy=BINNED), 6, 6, weight=True
+    )
+    assert np.allclose(wa, wb)
