@@ -1,0 +1,126 @@
+"""Multi-layer interval integration ("least common intervals").
+
+From-scratch Spark re-expression of
+``/root/reference/linref/events/integration.py:6-160``: per group, the union
+of all layers' begs+ends (+ locs when ``split_at_locs``) forms sorted-unique
+edges; adjacent edge pairs are the integrated intervals; each interval is
+related back to every linear layer (intersect, enforce_edges=False) and
+annotated with the matching source event id per layer (first match by lowest
+id when ``expand=False``; the full cross-product of matches across layers
+when ``expand=True``). ``fill_gaps`` keeps intervals no layer matched.
+
+Spark-first: the edge union is ``unionByName + explode + distinct`` (one
+shuffle on (keys, edge)); intervals come from a ``lead`` window per group;
+the relate-back reuses :func:`linref_spark.relate.join.intersect_pairs`;
+expansion is a sequential ``explode`` per layer (row growth = product of
+per-layer match counts — exactly the reference's ``itertools.product``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linref_spark.lrs import EVENT_ID, LRS
+from linref_spark.relate.join import (
+    EQUI,
+    JoinStrategy,
+    LEFT_ID,
+    RIGHT_ID,
+    intersect_pairs,
+)
+
+
+def integrate(
+    frames: Sequence[tuple[DataFrame, LRS]],
+    fill_gaps: bool = False,
+    split_at_locs: bool = False,
+    expand: bool = False,
+    strategy: JoinStrategy = EQUI,
+) -> DataFrame:
+    """Returns the integrated interval frame with columns:
+    key cols (named as in the first frame), ``beg``, ``end``, ``event_id``,
+    and one ``index_{i}`` column per input layer (long; -1 = no match).
+    """
+    if not frames:
+        raise ValueError("Must provide at least one event frame.")
+    base_lrs = frames[0][1]
+    keys = list(base_lrs.key_cols)
+    if not keys:
+        raise ValueError("integrate requires grouped events")
+
+    # --- collect edges per layer -------------------------------------------
+    edge_frames = []
+    for df, lrs in frames:
+        lrs.check_compatibility(base_lrs)
+        edges = []
+        if lrs.is_linear:
+            edges.extend([F.col(lrs.beg_col), F.col(lrs.end_col)])
+        if lrs.is_located and split_at_locs:
+            edges.append(F.col(lrs.loc_col))
+        if not edges:
+            continue
+        sel = [
+            F.col(k).alias(bk) for k, bk in zip(lrs.key_cols, keys)
+        ] + [F.explode(F.array(*[e.cast("double") for e in edges])).alias("_edge")]
+        edge_frames.append(df.select(*sel))
+    if not edge_frames:
+        raise ValueError("No measure edges found among input frames.")
+    all_edges = edge_frames[0]
+    for ef in edge_frames[1:]:
+        all_edges = all_edges.unionByName(ef)
+    uniq = all_edges.distinct()
+
+    # --- adjacent edge pairs -> intervals ----------------------------------
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col("_edge"))
+    intervals = (
+        uniq.withColumn("_next", F.lead(F.col("_edge")).over(w))
+        .where(F.col("_next").isNotNull())
+        .select(*keys, F.col("_edge").alias("beg"), F.col("_next").alias("end"))
+    )
+    w_id = Window.orderBy(*[F.col(k) for k in keys], F.col("beg"))
+    intervals = intervals.withColumn(
+        EVENT_ID, F.row_number().over(w_id).cast("long") - 1
+    ).cache()
+    ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
+
+    # --- relate intervals back to each layer --------------------------------
+    out = intervals
+    for i, (df, lrs) in enumerate(frames):
+        idx_col = f"index_{i}"
+        if not lrs.is_linear:
+            out = out.withColumn(idx_col, F.lit(-1).cast("long"))
+            if expand:
+                out = out.withColumn(idx_col, F.col(idx_col))  # scalar stays
+            continue
+        pairs = intersect_pairs(
+            intervals, df, ilrs, lrs, enforce_edges=False, strategy=strategy
+        )
+        if not expand:
+            # first match per layer = argmax over the boolean row = lowest
+            # source position (integration.py:104-110)
+            matches = pairs.groupBy(LEFT_ID).agg(F.min(RIGHT_ID).alias(idx_col))
+            out = out.join(
+                matches, on=F.col(EVENT_ID) == F.col(LEFT_ID), how="left"
+            ).drop(LEFT_ID)
+            out = out.withColumn(idx_col, F.coalesce(F.col(idx_col), F.lit(-1)))
+        else:
+            matches = pairs.groupBy(LEFT_ID).agg(
+                F.sort_array(F.collect_list(RIGHT_ID)).alias("_m")
+            )
+            out = out.join(
+                matches, on=F.col(EVENT_ID) == F.col(LEFT_ID), how="left"
+            ).drop(LEFT_ID)
+            arr = F.coalesce(F.col("_m"), F.array(F.lit(-1).cast("long")))
+            out = out.withColumn(idx_col, F.explode(arr)).drop("_m")
+
+    idx_cols = [f"index_{i}" for i in range(len(frames))]
+    any_match = None
+    for c in idx_cols:
+        m = F.col(c) >= 0
+        any_match = m if any_match is None else (any_match | m)
+    if not fill_gaps and any_match is not None:
+        out = out.where(any_match)
+    return out

@@ -1,0 +1,168 @@
+"""Parity tests for distribute (sliding-window smoothing) and cluster.
+
+Goldens from ``/root/reference/linref/tests/test_events_relate.py:1005-1175``
+and the HIN-workflow conservation invariant
+(``/root/reference/linref/tests/test_integration.py:333-369``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from linref_spark.relate.distribute import distribute, make_decay
+from linref_spark.relate.join import intersect_pairs, overlay_pairs
+from linref_spark.spatial.cluster import cluster
+from tests.conftest import col_as_array, make_events
+
+
+@pytest.fixture(scope="module")
+def dist_fixture(spark):
+    left, llrs = make_events(
+        spark, begs=[0, 10, 20, 30, 40], ends=[10, 20, 30, 40, 50]
+    )
+    right, rlrs = make_events(spark, begs=[15], ends=[25], extra={"val": [1.0]})
+    opairs = overlay_pairs(left, right, llrs, rlrs, normalize=True, norm_by="right")
+    return left, llrs, right, rlrs, opairs.cache()
+
+
+def _run(dist_fixture, **kw):
+    left, llrs, right, rlrs, opairs = dist_fixture
+    out = distribute(
+        opairs, left, right, llrs, rlrs, value_col="val", axis=1, **kw
+    )
+    return [float(v) for v in col_as_array(out, "distributed", 5)]
+
+
+def test_distribute_no_decay(dist_fixture):
+    res = _run(dist_fixture, decay_size=0)
+    assert res[1] > 0 and res[2] > 0
+    assert res[0] == 0 and res[3] == 0 and res[4] == 0
+    assert sum(res) == pytest.approx(1.0)
+
+
+def test_distribute_linear_decay_conserves(dist_fixture):
+    res = _run(dist_fixture, decay_size=2, decay_func="linear", direction="both")
+    assert sum(res) == pytest.approx(1.0)
+    assert all(v > 0 for v in res)  # spread reaches all 5 rows
+
+
+def test_distribute_forward_backward(dist_fixture):
+    fwd = _run(dist_fixture, decay_size=1, decay_func="flat", direction="forward")
+    bwd = _run(dist_fixture, decay_size=1, decay_func="flat", direction="backward")
+    assert sum(fwd) == pytest.approx(1.0)
+    assert sum(bwd) == pytest.approx(1.0)
+    # forward spreads toward earlier rows (relate.py:1470-1472); matches sit
+    # at rows 1,2 so size-1 spread reaches row 0 (forward) / row 3 (backward)
+    assert fwd[0] > 0 and fwd[3] == 0 and fwd[4] == 0
+    assert bwd[3] > 0 and bwd[0] == 0 and bwd[4] == 0
+
+
+def test_distribute_exact_linear_decay_values(dist_fixture):
+    # hand-executed reference math: matches w=0.5 at rows 1 and 2;
+    # decay(1)=1/2 for size=1; length 10 everywhere cancels in normalization.
+    # contributions: row0: .5*.5 ; row1: .5 + .5*.5 ; row2: .5 + .5*.5 ;
+    # row3: .5*.5 ; total 2.0 -> normalized shares [.125, .375, .375, .125, 0]
+    res = _run(dist_fixture, decay_size=1, decay_func="linear", direction="both")
+    assert res == [
+        pytest.approx(0.125),
+        pytest.approx(0.375),
+        pytest.approx(0.375),
+        pytest.approx(0.125),
+        pytest.approx(0.0),
+    ]
+
+
+def test_distribute_group_masking(spark):
+    left, llrs = make_events(
+        spark, begs=[0, 10, 0, 10], ends=[10, 20, 10, 20], groups=["A", "A", "B", "B"]
+    )
+    right, rlrs = make_events(
+        spark, begs=[5], ends=[15], groups=["A"], extra={"val": [1.0]}
+    )
+    op = overlay_pairs(left, right, llrs, rlrs)
+    out = distribute(
+        op, left, right, llrs, rlrs, value_col="val",
+        decay_size=3, decay_func="flat",
+    )
+    res = [float(v) for v in col_as_array(out, "distributed", 4)]
+    # rows 2,3 are group B: decay would reach them positionally but the
+    # group mask zeroes those shares (relate.py:1480-1495)
+    assert res[2] == 0.0 and res[3] == 0.0
+    assert sum(res) == pytest.approx(1.0)
+
+
+def test_distribute_hin_conservation(spark):
+    # segments x crashes: every matched crash's unit value is fully
+    # distributed -> sum == n matched crashes (test_integration.py:355-361)
+    segs, slrs = make_events(
+        spark,
+        begs=[0, 5, 10, 0, 5], ends=[5, 10, 15, 5, 10],
+        groups=["R1", "R1", "R1", "R2", "R2"],
+    )
+    crashes, clrs = make_events(
+        spark,
+        locs=[1.0, 4.9, 7.5, 12.0, 2.0, 9.9],
+        groups=["R1", "R1", "R1", "R1", "R2", "R2"],
+        extra={"one": [1.0] * 6},
+    )
+    ip = intersect_pairs(segs, crashes, slrs, clrs)
+    out = distribute(
+        ip, segs, crashes, slrs, clrs, value_col="one",
+        decay_size=2, decay_func="linear",
+    )
+    res = [float(v) for v in col_as_array(out, "distributed", 5)]
+    assert sum(res) == pytest.approx(6.0)
+
+
+def test_decay_functions():
+    lin = make_decay("linear", 2)
+    assert lin(0) == 1.0 and lin(1) == pytest.approx(1 - 1 / 3)
+    exp = make_decay("exponential", 4)
+    assert exp(0) == 1.0 and exp(5) == pytest.approx(pytest.approx(2.718281828**-5))
+    gauss = make_decay("gaussian", 3)
+    assert gauss(0) == 1.0 and gauss(3) == pytest.approx(0.011108996538242306)
+    flat = make_decay("flat", 9)
+    assert flat(7) == 1.0
+    zero = make_decay("linear", 0)
+    assert zero(5) == 1.0  # decay_size=0 short-circuits
+
+
+# --- cluster -----------------------------------------------------------------
+
+
+def test_cluster_points(spark):
+    df, lrs = make_events(
+        spark, locs=[0.0, 1.0, 2.0, 10.0, 11.0, 50.0],
+        groups=["A"] * 6,
+    )
+    out = cluster(df, lrs, max_gap=1.0)
+    labels = list(col_as_array(out, "cluster", 6))
+    # 0,1,2 chain together (gaps 1.0 -> buffered ranges overlap strictly? no:
+    # ranges touch at edges only when gap == 2*max_gap; here gap 1 < 2 -> yes)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] != labels[0]
+    assert labels[5] not in (labels[0], labels[3])
+    assert labels[0] == 0 and labels[3] == 1 and labels[5] == 2  # first-visit order
+
+
+def test_cluster_groups_and_links(spark):
+    df, lrs = make_events(
+        spark, locs=[0.0, 0.5, 0.0, 0.5],
+        groups=["A", "A", "B", "B"],
+        extra={"node": [None, "X", "X", None]},
+    )
+    no_link = cluster(df, lrs, max_gap=1.0)
+    nl = list(col_as_array(no_link, "cluster", 4))
+    assert nl[0] == nl[1] and nl[2] == nl[3] and nl[0] != nl[2]
+    linked = cluster(df, lrs, max_gap=1.0, link_cols=["node"])
+    lk = list(col_as_array(linked, "cluster", 4))
+    assert len(set(lk)) == 1  # link bridges the two routes
+
+
+def test_cluster_transitive_chain(spark):
+    # long chain exercises pointer-jumping convergence
+    locs = [float(i) for i in range(30)]
+    df, lrs = make_events(spark, locs=locs, groups=["A"] * 30)
+    out = cluster(df, lrs, max_gap=0.6)
+    labels = set(col_as_array(out, "cluster", 30))
+    assert labels == {0}
