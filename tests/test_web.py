@@ -1,0 +1,127 @@
+"""Tests for the web-scale text operators and the pages pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linref_spark.web import ann as ANN
+from linref_spark.web import dedup as DD
+from linref_spark.web import textstats as TS
+from linref_spark.web.pages import (
+    generate_pages,
+    geocode_pages,
+    with_extracted_text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "el rapido zorro marron salta sobre el perro y la casa de la ciudad"),
+        (4, "completely different content about spark engines and tiles"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pages_byte_identity_and_determinism(spark):
+    # north-rule invariant: extract_text(html) == text, byte for byte
+    pages = with_extracted_text(generate_pages(spark, 2000))
+    assert pages.where(F.col("extracted_text") != F.col("text")).count() == 0
+    a = sorted((r.url, r.text) for r in generate_pages(spark, 500).collect())
+    b = sorted((r.url, r.text) for r in generate_pages(spark, 500).collect())
+    assert a == b
+
+
+def test_geocode_invariants(spark):
+    geo = geocode_pages(generate_pages(spark, 1000), n_routes=10, route_length=50.0)
+    bad = geo.where(
+        (F.col("beg_mp") > F.col("end_mp"))
+        | (F.col("loc_mp") < 0)
+        | (F.col("loc_mp") > 50.0)
+        | ~F.col("route_id").rlike("^R[0-9]{4}$")
+    ).count()
+    assert bad == 0
+    assert geo.select("route_id").distinct().count() == 10
+
+
+def test_dedup_exact(spark, docs):
+    kept = DD.dedup_exact(docs)
+    assert kept.count() == 5  # doc 1 removed
+    groups = {r.doc_id: r.canonical_id for r in DD.exact_dup_groups(docs).collect()}
+    assert groups[1] == 0 and groups[0] == 0 and groups[2] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.a, r.b) for r in DD.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, shingle_k=3
+    ).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (2, 0) not in pairs or (0, 2) in pairs  # orientation a<b
+    # near-dup (0,2) shares most shingles; with 8 bands of 2 rows it should
+    # collide with high probability (deterministic given fixed hashes)
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.a, r.b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_bands(spark, docs):
+    sh = {r.doc_id: r.simhash for r in DD.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    pairs = {(r.a, r.b) for r in DD.simhash_band_pairs(docs).collect()}
+    assert (0, 1) in pairs
+
+
+def test_token_stats_and_quality(spark, docs):
+    out = TS.with_quality_score(TS.with_token_stats(docs))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_tokens == 9
+    assert rows[5].n_tokens == 0 and rows[5].avg_token_len == 0.0
+    assert 0.0 <= rows[0].quality_score <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in TS.with_lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[5] == "und"
+
+
+def test_fingerprint_matches_dups(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in TS.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[4]
+
+
+def test_ann_cosine_topk(spark):
+    import math
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [1.0, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = ANN.cosine_topk(df, df.where("vec_id = 0"), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(4, 1), (1, 2)]
+    # lsh bucket determinism
+    b1 = {r.vec_id: r.lsh_bucket for r in ANN.with_lsh_bucket(df, 3).collect()}
+    b2 = {r.vec_id: r.lsh_bucket for r in ANN.with_lsh_bucket(df, 3).collect()}
+    assert b1 == b2
+    near = {(r.a, r.b) for r in ANN.cosine_neardup_pairs(df, 3, threshold=0.95).collect()}
+    assert (0, 4) in near
