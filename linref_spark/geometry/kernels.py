@@ -1,0 +1,349 @@
+"""Pure-numpy M-geometry kernels (no Spark, no shapely).
+
+From-scratch implementations of the math in
+``/root/reference/linref/geometry/`` — semantics cited per function; these
+run inside Arrow-batched pandas UDFs (:mod:`linref_spark.geometry.udfs`).
+A polyline-with-M is represented as three parallel float64 arrays
+(xs, ys, ms); ms must be monotonically increasing
+(``linestring_m.py:87-91``).
+
+The container has no shapely: the one kernel the reference delegates to GEOS
+(nearest-point projection) is re-derived here as the standard
+point-to-segment projection argmin, which matches
+``shapely.line_locate_point`` semantics (first minimum wins on ties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cumdist(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Cumulative vertex distances, cumdist[0] = 0."""
+    seg = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)
+    out = np.empty(len(xs), dtype=np.float64)
+    out[0] = 0.0
+    np.cumsum(seg, out=out[1:])
+    return out
+
+
+def set_m_from_bounds(
+    xs: np.ndarray, ys: np.ndarray, beg: float, end: float | None = None
+) -> np.ndarray:
+    """Impute vertex M values proportional to chord length
+    (``linestring_m.py:348-372``): cumulative chord proportions scaled into
+    [beg, end], with the final vertex pinned exactly to ``end``.
+    """
+    cd = cumdist(xs, ys)
+    total = cd[-1]
+    if end is None:
+        end = beg + total
+    if total == 0:
+        m = np.full(len(xs), beg, dtype=np.float64)
+        m[-1] = end
+        return m
+    m = beg + (cd / total) * (end - beg)
+    m[-1] = end
+    return m
+
+
+def _interp_monotonic(
+    xp: np.ndarray, fp: np.ndarray, v: np.ndarray
+) -> np.ndarray:
+    """searchsorted + lerp with zero-span safety and clipping — the shared
+    interpolation core of ``operations.py:64-155`` (distance->M) and
+    ``operations.py:238-290`` (M->distance)."""
+    v = np.asarray(v, dtype=np.float64)
+    idx = np.searchsorted(xp, v)
+    idx = np.clip(idx, 1, len(xp) - 1)
+    x0 = xp[idx - 1]
+    x1 = xp[idx]
+    span = x1 - x0
+    prop = np.divide(v - x0, span, out=np.zeros_like(span, dtype=np.float64), where=span > 0)
+    prop = np.clip(prop, 0.0, 1.0)
+    return fp[idx - 1] + (fp[idx] - fp[idx - 1]) * prop
+
+
+def distance_to_m(
+    xs: np.ndarray, ys: np.ndarray, ms: np.ndarray, distances: np.ndarray
+) -> np.ndarray:
+    """Distance along line -> M (``operations.py:100-155``)."""
+    return _interp_monotonic(cumdist(xs, ys), ms, distances)
+
+
+def m_to_distance(
+    xs: np.ndarray, ys: np.ndarray, ms: np.ndarray, m_values: np.ndarray
+) -> np.ndarray:
+    """M -> distance along line (``operations.py:238-290``)."""
+    return _interp_monotonic(ms, cumdist(xs, ys), m_values)
+
+
+def locate_point(
+    xs: np.ndarray, ys: np.ndarray, px: float, py: float
+) -> float:
+    """Distance along the polyline of the nearest point to (px, py).
+
+    Equivalent of ``shapely.line_locate_point`` (used at
+    ``operations.py:45-61``): project the point onto every segment, take the
+    first closest. Vectorized over segments.
+    """
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    t = np.divide(
+        (px - ax) * dx + (py - ay) * dy,
+        seg_len2,
+        out=np.zeros_like(seg_len2),
+        where=seg_len2 > 0,
+    )
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    i = int(np.argmin(d2))
+    cd = cumdist(xs, ys)
+    return float(cd[i] + t[i] * np.sqrt(seg_len2[i]))
+
+
+def point_line_distance(
+    xs: np.ndarray, ys: np.ndarray, px: float, py: float
+) -> float:
+    """Euclidean distance from a point to the polyline (exact refinement for
+    the tile-join spatial operators)."""
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    t = np.divide(
+        (px - ax) * dx + (py - ay) * dy,
+        seg_len2,
+        out=np.zeros_like(seg_len2),
+        where=seg_len2 > 0,
+    )
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return float(np.sqrt(np.min(d2)))
+
+
+def interpolate_point(
+    xs: np.ndarray, ys: np.ndarray, distance: float
+) -> tuple[float, float]:
+    """Point at a distance along the polyline (clamped to the ends) —
+    ``shapely.line_interpolate_point`` equivalent (``operations.py:158-203``).
+    """
+    cd = cumdist(xs, ys)
+    d = min(max(distance, 0.0), cd[-1])
+    x = float(_interp_monotonic(cd, xs, np.array([d]))[0])
+    y = float(_interp_monotonic(cd, ys, np.array([d]))[0])
+    return x, y
+
+
+def substring(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ms: np.ndarray,
+    start: float,
+    end: float,
+    tolerance: float = 1e-10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Substring of the polyline between two *distances* along it.
+
+    Faithful port of ``substring_m_coords``
+    (``linref/geometry/utilities.py:59-183``): lerp the start/end points,
+    carry the intermediate original vertices, drop interpolated endpoints
+    that duplicate an adjacent original vertex (within tolerance, ends
+    only), and expand zero-length results to a duplicated point pair.
+    """
+    if start > end:
+        raise ValueError("Start value must be less than or equal to end value.")
+    cd = cumdist(xs, ys)
+    coords = np.column_stack([xs, ys])
+
+    def interp(distance):
+        if distance <= 0:
+            return 0, coords[0].copy(), ms[0]
+        if distance >= cd[-1]:
+            return len(cd) - 1, coords[-1].copy(), ms[-1]
+        idx = int(np.argmax(cd >= distance))
+        t = (distance - cd[idx - 1]) / (cd[idx] - cd[idx - 1])
+        coord = coords[idx - 1] + t * (coords[idx] - coords[idx - 1])
+        m_val = ms[idx - 1] + t * (ms[idx] - ms[idx - 1])
+        return idx, coord, m_val
+
+    s_idx, s_coord, s_m = interp(start)
+    e_idx, e_coord, e_m = interp(end)
+
+    n_mid = max(0, e_idx - s_idx)
+    out_c = np.empty((2 + n_mid, 2), dtype=np.float64)
+    out_m = np.empty(2 + n_mid, dtype=np.float64)
+    out_c[0], out_m[0] = s_coord, s_m
+    if n_mid > 0:
+        out_c[1 : 1 + n_mid] = coords[s_idx:e_idx]
+        out_m[1 : 1 + n_mid] = ms[s_idx:e_idx]
+    out_c[-1], out_m[-1] = e_coord, e_m
+
+    tol2 = tolerance * tolerance
+    if len(out_c) > 2:
+        d = out_c[0] - out_c[1]
+        if d @ d <= tol2 and abs(out_m[0] - out_m[1]) <= tolerance:
+            out_c, out_m = out_c[1:], out_m[1:]
+    if len(out_c) > 2:
+        d = out_c[-1] - out_c[-2]
+        if d @ d <= tol2 and abs(out_m[-1] - out_m[-2]) <= tolerance:
+            out_c, out_m = out_c[:-1], out_m[:-1]
+    if len(out_c) < 2:
+        out_c = np.array([out_c[0], out_c[0]])
+        out_m = np.array([out_m[0], out_m[0]])
+    return out_c[:, 0].copy(), out_c[:, 1].copy(), out_m
+
+
+def merge_lines(
+    lines: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    allow_mismatch: bool = False,
+) -> tuple[list[tuple[np.ndarray, np.ndarray, np.ndarray]], list[int], list[int]]:
+    """Greedy termini-matching merge of contiguous polylines.
+
+    Faithful port of ``line_merge_m`` (``linref/geometry/merge.py:9-173``):
+    repeatedly extend the current chain at either end by any unassigned line
+    whose first/last vertex (coords + M unless ``allow_mismatch``) equals
+    the chain's terminus; duplicate shared termini are dropped when
+    concatenating. Returns (merged_lines, orders, chains).
+    Determinism follows input order — pass lines in canonical event order.
+    """
+    from collections import deque
+
+    n = len(lines)
+    pts = [np.column_stack([x, y, m]) for x, y, m in lines]
+    merged, orders, chains = [], [], [0] * n
+    indices = list(range(n))
+    for merged_index in range(n):
+        orders_cur: deque = deque()
+        coords_cur: deque = deque()
+        beg_c = end_c = None
+        while True:
+            success = 0
+            for li in list(indices):
+                c = pts[li]
+                if beg_c is None:
+                    beg_c, end_c = c[0], c[-1]
+                    orders_cur.append(li)
+                    coords_cur.append(c)
+                else:
+                    head = c[0, :2] if allow_mismatch else c[0]
+                    tail = c[-1, :2] if allow_mismatch else c[-1]
+                    end_cmp = end_c[:2] if allow_mismatch else end_c
+                    beg_cmp = beg_c[:2] if allow_mismatch else beg_c
+                    if np.array_equal(head, end_cmp):
+                        end_c = c[-1]
+                        orders_cur.append(li)
+                        coords_cur.append(c)
+                    elif np.array_equal(tail, beg_cmp):
+                        beg_c = c[0]
+                        orders_cur.appendleft(li)
+                        coords_cur.appendleft(c)
+                    else:
+                        continue
+                chains[li] = merged_index
+                indices.remove(li)
+                success += 1
+            if success == 0 or len(indices) == 0:
+                break
+        parts = list(coords_cur)
+        if len(parts) == 1:
+            arr = parts[0]
+        else:
+            arr = np.vstack([p[:-1, :] for p in parts[:-1]] + [parts[-1]])
+        merged.append((arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy()))
+        orders.extend(orders_cur)
+        if len(indices) == 0:
+            break
+    return merged, list(orders), chains
+
+
+# --- WKT codec (LINESTRING M) -------------------------------------------------
+
+
+def to_wkt_m(xs: np.ndarray, ys: np.ndarray, ms: np.ndarray) -> str:
+    """``LINESTRING M (x y m, ...)`` per ``linestring_m.py:159-169``."""
+    pts = ", ".join(
+        f"{x:g} {y:g} {m:g}" for x, y, m in zip(xs, ys, ms)
+    )
+    return f"LINESTRING M ({pts})"
+
+
+def from_wkt_m(wkt: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse ``LINESTRING M (...)`` (``linestring_m.py:219-242``)."""
+    s = wkt.strip()
+    upper = s.upper()
+    if not upper.startswith("LINESTRING"):
+        raise ValueError(f"Not a LINESTRING WKT: {wkt[:40]!r}")
+    body = s[s.index("(") + 1 : s.rindex(")")]
+    xs, ys, ms = [], [], []
+    for pt in body.split(","):
+        parts = pt.split()
+        if len(parts) < 3:
+            raise ValueError(f"LINESTRING M point needs 3 values: {pt!r}")
+        xs.append(float(parts[0]))
+        ys.append(float(parts[1]))
+        ms.append(float(parts[2]))
+    return (
+        np.array(xs, dtype=np.float64),
+        np.array(ys, dtype=np.float64),
+        np.array(ms, dtype=np.float64),
+    )
+
+
+# --- 2-D intersection / containment kernels (spatial join refinement) --------
+
+
+def segment_intersections(
+    xs1: np.ndarray, ys1: np.ndarray, xs2: np.ndarray, ys2: np.ndarray,
+    eps: float = 1e-12,
+) -> list[tuple[float, float]]:
+    """All intersection points between two polylines.
+
+    Exact refinement for the tiled spatial self-join
+    (``generate_intersection_pairs``, ``linref/ext/spatial.py:562-670``):
+    standard parametric segment-pair intersection; collinear overlaps
+    contribute their shared endpoints. O(n*m) over segment pairs,
+    vectorized over the second polyline's segments.
+    """
+    pts: list[tuple[float, float]] = []
+    ax0, ay0 = xs1[:-1], ys1[:-1]
+    ax1, ay1 = xs1[1:], ys1[1:]
+    bx0, by0 = xs2[:-1], ys2[:-1]
+    bx1, by1 = xs2[1:], ys2[1:]
+    for i in range(len(ax0)):
+        rx, ry = ax1[i] - ax0[i], ay1[i] - ay0[i]
+        sx, sy = bx1 - bx0, by1 - by0
+        denom = rx * sy - ry * sx
+        qpx, qpy = bx0 - ax0[i], by0 - ay0[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qpx * sy - qpy * sx) / denom
+            u = (qpx * ry - qpy * rx) / denom
+        hit = (np.abs(denom) > eps) & (t >= -eps) & (t <= 1 + eps) & (
+            u >= -eps
+        ) & (u <= 1 + eps)
+        for j in np.where(hit)[0]:
+            pts.append((float(ax0[i] + t[j] * rx), float(ay0[i] + t[j] * ry)))
+    return pts
+
+
+def point_in_polygon(
+    px: float, py: float, poly_x: np.ndarray, poly_y: np.ndarray
+) -> bool:
+    """Ray-casting point-in-polygon (even-odd rule). Deterministic pure
+    float arithmetic; boundary points follow the half-open edge rule."""
+    n = len(poly_x)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        if (poly_y[i] > py) != (poly_y[j] > py):
+            x_int = (poly_x[j] - poly_x[i]) * (py - poly_y[i]) / (
+                poly_y[j] - poly_y[i]
+            ) + poly_x[i]
+            if px < x_int:
+                inside = not inside
+        j = i
+    return inside

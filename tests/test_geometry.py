@@ -1,0 +1,179 @@
+"""Geometry kernel + UDF parity tests.
+
+Math expectations follow ``/root/reference/linref/tests/test_geometry.py``
+(roundtrips, snapping, substring boundary consistency) and the projection
+fixture at ``test_ext_base.py:864-932`` (FIXTURES.md 5d).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linref_spark.geometry import kernels as K
+from linref_spark.geometry.udfs import (
+    add_geom_m,
+    cut_geoms,
+    extract_m_values,
+    geom_m_struct,
+    line_merge_groups,
+    project_points,
+    udf_geom_m_to_wkt,
+    udf_wkt_to_geom_m,
+)
+from linref_spark.events.frame import add_event_id
+from linref_spark.lrs import LRS
+
+
+# --- pure kernels -------------------------------------------------------------
+
+
+def test_set_m_from_bounds():
+    xs = np.array([0.0, 3.0, 3.0])
+    ys = np.array([0.0, 0.0, 4.0])  # chords 3, 4 -> total 7
+    m = K.set_m_from_bounds(xs, ys, 10.0, 24.0)
+    assert m[0] == 10.0 and m[-1] == 24.0
+    assert m[1] == pytest.approx(10.0 + 3 / 7 * 14.0)
+
+
+def test_m_distance_roundtrip():
+    xs = np.array([0.0, 10.0, 20.0])
+    ys = np.array([0.0, 0.0, 10.0])
+    ms = K.set_m_from_bounds(xs, ys, 100.0, 200.0)
+    for m_val in [100.0, 120.0, 150.0, 199.0, 200.0]:
+        d = K.m_to_distance(xs, ys, ms, np.array([m_val]))[0]
+        back = K.distance_to_m(xs, ys, ms, np.array([d]))[0]
+        assert back == pytest.approx(m_val)
+
+
+def test_locate_and_interpolate():
+    xs = np.array([0.0, 10.0])
+    ys = np.array([0.0, 0.0])
+    assert K.locate_point(xs, ys, 5.0, 3.0) == pytest.approx(5.0)
+    assert K.locate_point(xs, ys, -2.0, 0.0) == 0.0
+    assert K.locate_point(xs, ys, 12.0, 1.0) == pytest.approx(10.0)
+    assert K.interpolate_point(xs, ys, 7.5) == (7.5, 0.0)
+    assert K.point_line_distance(xs, ys, 5.0, 3.0) == pytest.approx(3.0)
+
+
+def test_substring_boundary_consistency():
+    # adjacent cuts share their boundary vertex exactly
+    # (test_geometry.py substring consistency expectations)
+    xs = np.array([0.0, 4.0, 10.0])
+    ys = np.array([0.0, 3.0, 3.0])
+    ms = K.set_m_from_bounds(xs, ys, 0.0)
+    a = K.substring(xs, ys, ms, 0.0, 6.0)
+    b = K.substring(xs, ys, ms, 6.0, 11.0)
+    assert a[0][-1] == b[0][0] and a[1][-1] == b[1][0] and a[2][-1] == b[2][0]
+    # vertex-aligned cut keeps the original vertex once
+    c = K.substring(xs, ys, ms, 0.0, 5.0)  # chord1 len 5 -> ends at (4, 3)
+    assert c[0][-1] == pytest.approx(4.0) and c[1][-1] == pytest.approx(3.0)
+    assert len(c[0]) == 2
+    # zero-length cut -> duplicated point
+    z = K.substring(xs, ys, ms, 3.0, 3.0)
+    assert len(z[0]) == 2 and z[0][0] == z[0][1]
+
+
+def test_merge_lines_chains():
+    l1 = (np.array([0.0, 1.0]), np.array([0.0, 0.0]), np.array([0.0, 1.0]))
+    l2 = (np.array([1.0, 2.0]), np.array([0.0, 0.0]), np.array([1.0, 2.0]))
+    l3 = (np.array([5.0, 6.0]), np.array([0.0, 0.0]), np.array([5.0, 6.0]))
+    merged, orders, chains = K.merge_lines([l1, l3, l2])
+    assert len(merged) == 2
+    assert chains == [0, 1, 0]
+    x, y, m = merged[0]
+    assert list(x) == [0.0, 1.0, 2.0] and list(m) == [0.0, 1.0, 2.0]
+    # M mismatch at terminus blocks merge unless allow_mismatch
+    l2m = (np.array([1.0, 2.0]), np.array([0.0, 0.0]), np.array([9.0, 10.0]))
+    merged2, _, chains2 = K.merge_lines([l1, l2m])
+    assert len(merged2) == 2
+    merged3, _, chains3 = K.merge_lines([l1, l2m], allow_mismatch=True)
+    assert len(merged3) == 1
+
+
+def test_wkt_roundtrip():
+    xs = np.array([0.0, 10.5])
+    ys = np.array([1.0, 2.0])
+    ms = np.array([0.0, 12.25])
+    w = K.to_wkt_m(xs, ys, ms)
+    assert w == "LINESTRING M (0 1 0, 10.5 2 12.25)"
+    x2, y2, m2 = K.from_wkt_m(w)
+    assert np.allclose(x2, xs) and np.allclose(y2, ys) and np.allclose(m2, ms)
+
+
+# --- Spark UDF layer ----------------------------------------------------------
+
+
+ROADS_LRS = LRS(key_cols=("route",), beg_col="beg", end_col="end", closed="left_mod")
+
+
+@pytest.fixture(scope="module")
+def roads(spark):
+    # FIXTURES.md 5d / test_ext_base.py:864-909
+    rows = [
+        ("US-101", 0.0, 10.0, [0.0, 10.0], [0.0, 0.0]),
+        ("US-101", 10.0, 20.0, [10.0, 20.0], [0.0, 0.0]),
+        ("SR-1", 0.0, 15.0, [0.0, 15.0], [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, ["route", "beg", "end", "geom_xs", "geom_ys"])
+    df = add_event_id(df, ROADS_LRS)
+    return add_geom_m(df, ROADS_LRS).cache()
+
+
+def test_add_geom_m_and_extract(spark, roads):
+    got = {
+        (r.route, r.beg): (list(r.geom_m.ms))
+        for r in roads.select("route", "beg", "geom_m").collect()
+    }
+    assert got[("US-101", 0.0)] == [0.0, 10.0]
+    assert got[("US-101", 10.0)] == [10.0, 20.0]
+    ext = extract_m_values(roads, beg_col="b2", end_col="e2")
+    bad = ext.where((F.col("b2") != F.col("beg")) | (F.col("e2") != F.col("end")))
+    assert bad.count() == 0
+
+
+def test_project_points_fixture(spark, roads):
+    pts = spark.createDataFrame(
+        [(1, 5.0, 0.05, "High"), (2, 15.0, 0.02, "Low"), (3, 7.0, 10.1, "Medium")],
+        ["event_id", "x", "y", "severity"],
+    )
+    out = project_points(roads, pts, ROADS_LRS, nearest=True)
+    got = {r.event_id: (r.route, r.loc_mp) for r in out.collect()}
+    assert got[1][0] == "US-101" and got[1][1] == pytest.approx(5.0)
+    assert got[2][0] == "US-101" and got[2][1] == pytest.approx(15.0)
+    assert got[3][0] == "SR-1" and got[3][1] == pytest.approx(7.0)
+
+
+def test_cut_geoms_matches_event_span(spark, roads):
+    cut = cut_geoms(
+        roads.withColumn("cb", F.col("beg") + 2.0).withColumn("ce", F.col("end") - 3.0),
+        "cb", "ce",
+    )
+    for r in cut.select("cb", "ce", "geom_m_cut").collect():
+        ms = list(r.geom_m_cut.ms)
+        assert ms[0] == pytest.approx(r.cb) and ms[-1] == pytest.approx(r.ce)
+        xs, ys = np.array(r.geom_m_cut.xs), np.array(r.geom_m_cut.ys)
+        length = float(np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2).sum())
+        assert length == pytest.approx(r.ce - r.cb)  # M == distance here
+
+
+def test_line_merge_groups(spark, roads):
+    merged = line_merge_groups(roads, ROADS_LRS)
+    got = {r.route: r for r in merged.collect()}
+    assert got["US-101"].n_parts == 2.0
+    assert got["US-101"].beg == 0.0 and got["US-101"].end == 20.0
+    assert list(got["US-101"].geom_m.xs) == [0.0, 10.0, 20.0]
+    assert got["SR-1"].n_parts == 1.0
+
+
+def test_wkt_udfs(spark, roads):
+    g = F.col("geom_m")
+    w = roads.withColumn("wkt", udf_geom_m_to_wkt(g["xs"], g["ys"], g["ms"]))
+    back = w.withColumn("g2", udf_wkt_to_geom_m(F.col("wkt")))
+    bad = back.where(
+        F.col("g2.ms") != F.col("geom_m.ms")
+    ).count()
+    assert bad == 0
+    one = w.where("route = 'SR-1'").select("wkt").first()[0]
+    assert one == "LINESTRING M (0 10 0, 15 10 15)"
