@@ -347,3 +347,39 @@ def point_in_polygon(
                 inside = not inside
         j = i
     return inside
+
+
+def snap_points_batch(
+    xs: np.ndarray, ys: np.ndarray, ms: np.ndarray | None,
+    pxs: np.ndarray, pys: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized snap of P points onto one polyline: returns
+    (distances, measures). The (P x S) segment-projection matrix form of
+    :func:`locate_point`/:func:`point_line_distance` — the batching the
+    reference applies per unique geometry (``operations.py:114-127``),
+    here applied across all points sharing a geometry in an Arrow batch.
+    """
+    ax, ay = xs[:-1], ys[:-1]
+    dx, dy = xs[1:] - ax, ys[1:] - ay
+    seg_len2 = dx * dx + dy * dy
+    px = pxs.reshape(-1, 1)
+    py = pys.reshape(-1, 1)
+    t = np.divide(
+        (px - ax) * dx + (py - ay) * dy,
+        seg_len2,
+        out=np.zeros((len(pxs), len(ax))),
+        where=seg_len2 > 0,
+    )
+    np.clip(t, 0.0, 1.0, out=t)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    best = np.argmin(d2, axis=1)
+    rows = np.arange(len(pxs))
+    dist = np.sqrt(d2[rows, best])
+    cd = cumdist(xs, ys)
+    seg_len = np.sqrt(seg_len2)
+    along = cd[best] + t[rows, best] * seg_len[best]
+    if ms is None:
+        return dist, along
+    return dist, _interp_monotonic(cd, ms, along)

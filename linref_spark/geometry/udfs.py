@@ -337,3 +337,48 @@ def get_chains(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(chain_fn, schema)
+
+
+SNAP_TYPE = StructType(
+    [StructField("dist", DoubleType()), StructField("loc_m", DoubleType())]
+)
+
+
+@F.pandas_udf(SNAP_TYPE)
+def udf_snap_by_geom(
+    geom_key: pd.Series,
+    xs: pd.Series,
+    ys: pd.Series,
+    ms: pd.Series,
+    px: pd.Series,
+    py: pd.Series,
+) -> pd.DataFrame:
+    """Fused distance + M snap, batched per distinct geometry key.
+
+    The candidate join repeats each route geometry across many point rows;
+    grouping the Arrow batch by ``geom_key`` runs ONE vectorized
+    (points x segments) kernel per geometry instead of a Python iteration
+    per row — the same unique-object batching the reference uses
+    (``operations.py:114-127``), two orders of magnitude faster at high
+    candidate fan-out.
+    """
+    n = len(geom_key)
+    dist = np.full(n, np.nan)
+    loc = np.full(n, np.nan)
+    pxv = px.to_numpy(dtype=np.float64, na_value=np.nan)
+    pyv = py.to_numpy(dtype=np.float64, na_value=np.nan)
+    groups: dict = {}
+    for i, k in enumerate(geom_key):
+        groups.setdefault(k, []).append(i)
+    for k, idx in groups.items():
+        i0 = idx[0]
+        x, y, mm = xs.iloc[i0], ys.iloc[i0], ms.iloc[i0]
+        if x is None:
+            continue
+        ii = np.array(idx)
+        d, m_out = K.snap_points_batch(
+            _np(x), _np(y), None if mm is None else _np(mm), pxv[ii], pyv[ii]
+        )
+        dist[ii] = d
+        loc[ii] = m_out
+    return pd.DataFrame({"dist": dist, "loc_m": loc})

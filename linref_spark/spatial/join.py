@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, DoubleType, StructField, StructType
 
 from linref_spark.geometry import kernels as K
-from linref_spark.geometry.udfs import udf_locate_point_m, udf_point_line_distance
+from linref_spark.geometry.udfs import (
+    udf_locate_point_m,
+    udf_point_line_distance,
+    udf_snap_by_geom,
+)
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.spatial.tiles import with_point_tile, with_polyline_tiles
 
@@ -50,6 +54,8 @@ def project_points_tiled(
     geom_col: str = "geom_m",
     loc_col: str = "loc_mp",
     dist_col: str = "snap_dist",
+    broadcast_routes: bool = False,
+    batch_cluster: bool = True,
 ) -> DataFrame:
     """Tile-prefiltered point->route snapping (``project``,
     ``linref/ext/base.py:3057-3171``): candidate (point, route) pairs from a
@@ -78,19 +84,29 @@ def project_points_tiled(
             geom_col,
         )
     rt = with_polyline_tiles(rsel, geom_col, res=res, buffer=buffer)
+    if broadcast_routes:
+        # the north-star scale path: broadcast the (dissolved) route
+        # geometry tiles to executors -> map-side join, zero shuffle
+        rt = F.broadcast(rt)
     pt = with_point_tile(points, x_col, y_col, res=res)
+    # each point owns exactly ONE tile and a route's cover lists each tile
+    # once, so the join cannot duplicate (point, route-row) pairs — no
+    # dedupe shuffle needed
     cand = pt.join(rt, on="tile_id", how="inner").drop("tile_id")
-    # a route row may cover several of the point's neighborhood tiles -> dedupe
-    cand = cand.dropDuplicates([EVENT_ID, "_route_eid"])
+    if batch_cluster and not broadcast_routes:
+        # cluster candidates of the same geometry into the same Arrow batches
+        # so the fused snap UDF vectorizes per geometry (points x segments);
+        # skipped on the broadcast path to stay shuffle-free (the UDF still
+        # groups within each batch)
+        cand = cand.repartition(F.col("_route_eid")).sortWithinPartitions("_route_eid")
     g = F.col(geom_col)
-    cand = cand.withColumn(
-        dist_col,
-        udf_point_line_distance(g["xs"], g["ys"], F.col(x_col), F.col(y_col)),
-    ).where(F.col(dist_col) <= buffer)
-    cand = cand.withColumn(
-        loc_col,
-        udf_locate_point_m(g["xs"], g["ys"], g["ms"], F.col(x_col), F.col(y_col)),
+    snap = udf_snap_by_geom(
+        F.col("_route_eid"), g["xs"], g["ys"], g["ms"], F.col(x_col), F.col(y_col)
     )
+    cand = cand.withColumn("_snap", snap)
+    cand = cand.withColumn(dist_col, F.col("_snap.dist")).withColumn(
+        loc_col, F.col("_snap.loc_m")
+    ).drop("_snap").where(F.col(dist_col) <= buffer)
     if nearest:
         w = Window.partitionBy(EVENT_ID).orderBy(
             F.col(dist_col).asc(),

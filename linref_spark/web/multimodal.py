@@ -1,0 +1,163 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media rides as opaque ``binary`` columns with typed metadata structs —
+the standard large-scale training-data layout (content-addressed bytes +
+sidecar metadata). The Spark-side plumbing here is real and tested:
+schemas, partition-friendly batch shapes, ``mapInPandas`` iterator UDFs
+with bounded memory; only the codec itself is stubbed (no image/audio
+libraries in this container) behind ``DECODERS`` — swap in a real decoder
+(PIL / torchaudio / pyav) by registering a callable, nothing else changes.
+
+Operators:
+
+- :func:`with_media_meta` — sniff format + size from magic bytes (real,
+  pure expressions);
+- :func:`decode_features` — mapInPandas feature extraction: batches of
+  binary -> fixed-width float vectors. Default decoder is a deterministic
+  byte-statistics fake (so pipelines and tests run end-to-end); real
+  decoders plug in;
+- :func:`sample_frames` — video frame sampling plumbing: one row per
+  sampled frame index with byte-range metadata (stub slicing, real
+  explode/schema);
+- :func:`resize_stub` — image resize signature: binary -> binary with
+  target dims in metadata (raises NotImplementedError unless a real
+  decoder is registered, as the task spec allows).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# registry: media kind -> callable(bytes) -> np.ndarray[float32] of FEATURE_DIM
+DECODERS: Dict[str, Callable[[bytes], np.ndarray]] = {}
+FEATURE_DIM = 16
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_feature(data: bytes) -> np.ndarray:
+    """Deterministic stand-in feature vector: byte-histogram statistics.
+
+    NOT a real decode — a placeholder so the distributed plumbing (schema,
+    batching, downstream ANN) is exercised end-to-end. Replace via
+    ``DECODERS['image'] = real_fn``.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    return (hist / max(len(arr), 1)).astype(np.float32)
+
+
+def media_format_expr(data: Column) -> Column:
+    """Sniff common container formats from magic bytes (pure expressions)."""
+    head = F.hex(F.substring(data, 1, 4))
+    return (
+        F.when(head.startswith("FFD8"), F.lit("jpeg"))
+        .when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("52494646"), F.lit("riff"))  # wav/avi
+        .when(head.startswith("00000018"), F.lit("mp4"))
+        .when(head.startswith("00000020"), F.lit("mp4"))
+        .when(head.startswith("494433"), F.lit("mp3"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def with_media_meta(df: DataFrame, data_col: str = "media") -> DataFrame:
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            media_format_expr(F.col(data_col)).alias("format"),
+            F.length(F.col(data_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    data_col: str = "media",
+    kind: str = "image",
+    out_col: str = "features",
+    batch_limit: int = 256,
+) -> DataFrame:
+    """Binary -> fixed-width feature vector via ``mapInPandas``.
+
+    The iterator form keeps per-batch memory bounded (media bytes never
+    accumulate); ``batch_limit`` re-chunks oversized Arrow batches. The
+    decode callable comes from ``DECODERS[kind]`` (default: deterministic
+    fake).
+    """
+    decoder = DECODERS.get(kind, _fake_feature)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(FloatType()))]
+    )
+    data_idx = data_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit].copy()
+                chunk[out_col] = [
+                    None if b is None else decoder(bytes(b))
+                    for b in chunk[data_idx]
+                ]
+                yield chunk
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    data_col: str = "media",
+    n_frames: int = 4,
+    id_cols: tuple = ("media_id",),
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame with
+    deterministic frame indices and byte-range metadata. The byte ranges
+    slice the container naively (REAL demuxing needs pyav — register a
+    decoder); the explode/schema/partitioning is the production shape.
+    """
+    n_bytes = F.length(F.col(data_col)).cast("long")
+    frames = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    out = df.select(
+        *id_cols,
+        n_bytes.alias("_nb"),
+        F.explode(frames).alias("frame_idx"),
+    )
+    span = (F.col("_nb") / n_frames).cast("long")
+    return out.select(
+        *id_cols,
+        "frame_idx",
+        (F.col("frame_idx") * span).alias("byte_start"),
+        F.least((F.col("frame_idx") + 1) * span, F.col("_nb")).alias("byte_end"),
+    )
+
+
+def resize_stub(
+    df: DataFrame, data_col: str = "media", width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize: requires a real decoder. Clearly-marked stub per spec."""
+    if "image" not in DECODERS:
+        raise NotImplementedError(
+            "Image resize needs a real decoder (no image libraries in this "
+            "environment). Register DECODERS['image'] to enable."
+        )
+    raise NotImplementedError("resize via registered decoder not yet wired")

@@ -1,0 +1,106 @@
+"""Tests: constrain_to / impute_keys compositions, bearing/direction,
+multimodal column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linref_spark.events.constrain import constrain_to, impute_keys
+from linref_spark.geometry.direction import with_bearing
+from linref_spark.web import multimodal as MM
+from tests.conftest import make_events
+
+
+def rows(df, *cols, order):
+    return [tuple(r[c] for c in cols) for r in df.orderBy(*order).collect()]
+
+
+def test_constrain_to_basic(spark):
+    subj, slrs = make_events(
+        spark, begs=[0, 20], ends=[10, 30], groups=["R", "R"],
+        extra={"attr": ["a", "b"]},
+    )
+    ref, rlrs = make_events(spark, begs=[5, 22], ends=[8, 40], groups=["R", "R"])
+    out = constrain_to(subj, ref, slrs, rlrs, attr_cols=["attr"])
+    got = rows(out, "route", "beg", "end", "constrained_index", "attr",
+               order=("beg",))
+    # subject [0,10] covered only on [5,8]; [20,30] covered on [22,30]
+    assert got == [("R", 5.0, 8.0, 0, "a"), ("R", 22.0, 30.0, 1, "b")]
+
+
+def test_constrain_to_dissolve_merges_contiguous(spark):
+    subj, slrs = make_events(spark, begs=[0.0], ends=[30.0], groups=["R"])
+    # reference split into touching pieces -> integrate splits, dissolve heals
+    ref, rlrs = make_events(
+        spark, begs=[5, 10, 20], ends=[10, 15, 25], groups=["R", "R", "R"]
+    )
+    out = constrain_to(subj, ref, slrs, rlrs)
+    got = rows(out, "beg", "end", order=("beg",))
+    assert got == [(5.0, 15.0), (20.0, 25.0)]
+    nod = constrain_to(subj, ref, slrs, rlrs, dissolve=False)
+    assert nod.count() == 3  # every reference edge splits
+
+
+def test_impute_keys(spark):
+    # point events missing an aux key, imputed from overlapping linear frame
+    pts, plrs = make_events(spark, locs=[2.0, 7.0], groups=["R", "R"])
+    lin, llrs = make_events(
+        spark, begs=[0, 5], ends=[5, 10], groups=["R", "R"],
+        extra={"county": ["A", "B"]},
+    )
+    out = impute_keys(pts, lin, plrs, llrs, impute_cols=["county"])
+    got = {r.loc: r.county for r in out.collect()}
+    assert got[2.0] == "A" and got[7.0] == "B"
+
+
+def test_bearing_direction(spark):
+    rows_ = [
+        (0, [0.0, 10.0], [0.0, 0.0]),     # east
+        (1, [0.0, 0.0], [0.0, 5.0]),      # north
+        (2, [0.0, -4.0], [0.0, 0.0]),     # west
+        (3, [0.0, 1.0], [0.0, -9.0]),     # ~south
+    ]
+    df = spark.createDataFrame(rows_, ["i", "xs", "ys"]).select(
+        "i", F.struct("xs", "ys").alias("geom_m")
+    )
+    out = {r.i: (r.bearing, r.direction) for r in with_bearing(df).collect()}
+    assert out[0] == (0.0, "E")
+    assert out[1] == (90.0, "N")
+    assert out[2] == (180.0, "W")
+    assert out[3][1] == "S"
+
+
+def test_media_meta_and_features(spark):
+    rows_ = [
+        (0, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"jpegdata" * 10),
+        (1, bytes([0x89, 0x50, 0x4E, 0x47]) + b"pngdata" * 10),
+        (2, b"garbage-bytes"),
+    ]
+    df = spark.createDataFrame(rows_, ["media_id", "media"])
+    meta = MM.with_media_meta(df)
+    got = {r.media_id: r.media_meta for r in meta.collect()}
+    assert got[0]["format"] == "jpeg" and got[1]["format"] == "png"
+    assert got[2]["format"] == "unknown"
+    assert got[0]["n_bytes"] == 84
+
+    feats = MM.decode_features(df)
+    out = {r.media_id: r.features for r in feats.collect()}
+    assert all(len(v) == MM.FEATURE_DIM for v in out.values())
+    assert abs(sum(out[0]) - 1.0) < 1e-6  # normalized histogram
+    # determinism
+    out2 = {r.media_id: r.features for r in MM.decode_features(df).collect()}
+    assert out == out2
+
+
+def test_sample_frames_plumbing(spark):
+    df = spark.createDataFrame([(7, b"x" * 100)], ["media_id", "media"])
+    frames = MM.sample_frames(df, n_frames=4)
+    got = rows(frames, "frame_idx", "byte_start", "byte_end", order=("frame_idx",))
+    assert got == [(0, 0, 25), (1, 25, 50), (2, 50, 75), (3, 75, 100)]
+
+
+def test_resize_is_explicit_stub(spark):
+    df = spark.createDataFrame([(0, b"")], ["media_id", "media"])
+    with pytest.raises(NotImplementedError):
+        MM.resize_stub(df)

@@ -1,0 +1,82 @@
+"""Checkpointed pipeline: resume, invalidation, lineage metrics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from linref_spark.pipeline.checkpoint import Pipeline, Stage
+
+
+@pytest.fixture()
+def base_dir(tmp_path):
+    return str(tmp_path / "pipe")
+
+
+def make_stages(counter):
+    def s_a(spark, _):
+        counter["a"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    def s_b(spark, ins):
+        counter["b"] += 1
+        return ins["a"].where(F.col("v") % 4 == 0)
+
+    return [Stage("a", s_a), Stage("b", s_b, inputs=("a",))]
+
+
+def test_pipeline_runs_and_resumes(spark, base_dir):
+    counter = {"a": 0, "b": 0}
+    pipe = Pipeline(base_dir, make_stages(counter))
+    out1 = pipe.run(spark, log=None)
+    assert out1["b"].count() == 50
+    assert counter == {"a": 1, "b": 1}
+    # second run: both stages resume from checkpoints, no recompute
+    out2 = pipe.run(spark, log=None)
+    assert out2["b"].count() == 50
+    assert counter == {"a": 1, "b": 1}
+    # metrics/lineage recorded
+    m = pipe.metrics()
+    assert m["a"]["rows"] == 100 and m["b"]["rows"] == 50
+    assert m["b"]["inputs"]["a"] == m["a"]["fingerprint"]
+    assert m["a"]["wall_sec"] > 0 and m["a"]["bytes"] > 0
+    assert m["a"]["partitions"] >= 1 and m["a"]["skew_ratio"] >= 1.0
+
+
+def test_pipeline_version_bump_invalidates_downstream(spark, base_dir):
+    counter = {"a": 0, "b": 0}
+    pipe = Pipeline(base_dir, make_stages(counter))
+    pipe.run(spark, log=None)
+    assert counter == {"a": 1, "b": 1}
+    # bump stage a's version: a AND b recompute (transitive fingerprints)
+    stages2 = make_stages(counter)
+    stages2[0].version = "2"
+    pipe2 = Pipeline(base_dir, stages2)
+    pipe2.run(spark, log=None)
+    assert counter == {"a": 2, "b": 2}
+    # unchanged rerun resumes again
+    pipe2.run(spark, log=None)
+    assert counter == {"a": 2, "b": 2}
+
+
+def test_pipeline_partial_output_not_committed(spark, base_dir):
+    counter = {"a": 0, "b": 0}
+    stages = make_stages(counter)
+
+    def s_fail(spark, ins):
+        raise RuntimeError("boom")
+
+    pipe = Pipeline(base_dir, [stages[0], Stage("bad", s_fail, inputs=("a",))])
+    with pytest.raises(RuntimeError):
+        pipe.run(spark, log=None)
+    # stage a committed, bad did not
+    m = pipe.metrics()
+    assert "a" in m and "bad" not in m
+    assert not os.path.exists(os.path.join(base_dir, "bad"))
+    # fixing the stage resumes a, runs bad's replacement
+    pipe2 = Pipeline(base_dir, make_stages(counter))
+    pipe2.run(spark, log=None)
+    assert counter["a"] == 1  # resumed, not recomputed
