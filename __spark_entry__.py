@@ -26,7 +26,11 @@ from linref_spark.lrs import LRS  # noqa: E402
 from linref_spark.events.frame import add_event_id  # noqa: E402
 from linref_spark.events import analyze as AN  # noqa: E402
 from linref_spark.events import modify as MOD  # noqa: E402
+from linref_spark.events.constrain import constrain_to  # noqa: E402
+from linref_spark.events.frame import next_overlapping  # noqa: E402
 from linref_spark.events.integrate import integrate  # noqa: E402
+from linref_spark.events import modify as MOD2  # noqa: E402
+from linref_spark.spatial.tiles import point_tile  # noqa: E402
 from linref_spark.relate import agg as AGG  # noqa: E402
 from linref_spark.relate.distribute import distribute  # noqa: E402
 from linref_spark.relate.join import intersect_pairs, overlay_pairs  # noqa: E402
@@ -308,6 +312,73 @@ def q_events_sessionize(spark, sf_dir):
     return out.select(F.col("user_id").cast("long").alias("user_id"), "n_sessions", "n_events")
 
 
+def q_seg_separate(spark, sf_dir):
+    # rows-only check (multi-stage window algorithm; not concisely ANSI-SQL)
+    seg = _seg(spark, sf_dir, 1)
+    out = MOD.separate(seg, SEG_LRS, anchor="centers", method="balanced")
+    return out.select("route", "beg", "end")
+
+
+def q_seg_constrain(spark, sf_dir):
+    a = _seg(spark, sf_dir, 1)
+    b = _seg(spark, sf_dir, 2)
+    out = constrain_to(a, b, SEG_LRS, SEG_LRS, dissolve=True)
+    return out.select(
+        "route", "beg", "end",
+        F.col("constrained_index").cast("long").alias("constrained_index"),
+    )
+
+
+def q_seg_next_overlapping(spark, sf_dir):
+    seg = _seg(spark, sf_dir, 1)
+    out = next_overlapping(seg, SEG_LRS, enforce_edges=False, out_col="nov")
+    return out.select("route", "beg", "end", "nov")
+
+
+def q_point_tiles(spark, sf_dir):
+    pts = _pts(spark, sf_dir)
+    out = pts.withColumn(
+        "tile_id", point_tile(F.col("loc"), F.pmod(F.col("pval"), F.lit(500.0)), 6)
+    )
+    return out.select("route", "loc", "tile_id")
+
+
+def q_seg_profile_sum(spark, sf_dir):
+    # triangular-profile overlay sum, scaled by right-length^2 so every
+    # term is integer-exact (cross-engine float-safe)
+    left = _seg(spark, sf_dir, 1)
+    right = _seg(spark, sf_dir, 2)
+    pairs = overlay_pairs(
+        left, right, SEG_LRS, SEG_LRS, normalize=True, norm_by="right",
+        profile="triangular",
+    )
+    rlen2 = right.select(
+        F.col("event_id").alias("_rid"),
+        ((F.col("end") - F.col("beg")) * (F.col("end") - F.col("beg"))).alias("_l2"),
+        F.col("qty").alias("_q"),
+    )
+    scaled = pairs.join(rlen2, on=F.col("right_id") == F.col("_rid")).select(
+        "left_id",
+        F.round(F.col("weight") * F.col("_l2") * F.col("_q")).alias("_term"),
+    )
+    agg = scaled.groupBy("left_id").agg(F.sum("_term").alias("psum"))
+    out = left.join(agg, on=F.col("event_id") == F.col("left_id"), how="left")
+    return out.select(
+        "route", "beg", "end",
+        F.coalesce(F.col("psum"), F.lit(0.0)).cast("double").alias("psum"),
+    )
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -340,6 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_first_last": q_seg_first_last,
         "seg_value_counts": q_seg_value_counts,
         "seg_integrate": q_seg_integrate,
+        "seg_separate": q_seg_separate,
+        "seg_constrain": q_seg_constrain,
+        "seg_next_overlapping": q_seg_next_overlapping,
+        "seg_profile_sum": q_seg_profile_sum,
+        "point_tiles": q_point_tiles,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "seg_distribute": q_seg_distribute,
         "pts_cluster": q_pts_cluster,
         "docs_dedup_exact": q_docs_dedup_exact,
@@ -554,6 +631,100 @@ flags AS (
   FROM iv2 i
 )
 SELECT * FROM flags WHERE in_a OR in_b
+""",
+        "seg_constrain": f"""
+WITH {_SEG_SQL}, {_SEG2_SQL},
+segr AS (
+  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val) - 1 AS rid FROM seg
+),
+edges AS (
+  SELECT route, beg AS e FROM seg UNION SELECT route, "end" FROM seg
+  UNION SELECT route, beg FROM seg2 UNION SELECT route, "end" FROM seg2
+),
+iv AS (
+  SELECT route, e AS beg, lead(e) OVER (PARTITION BY route ORDER BY e) AS "end"
+  FROM edges
+),
+iv2 AS (SELECT * FROM iv WHERE "end" IS NOT NULL),
+cov AS (
+  SELECT i.route, i.beg, i."end", s.rid
+  FROM iv2 i JOIN segr s
+    ON s.route = i.route AND i."end" > s.beg AND i.beg < s."end"
+  WHERE EXISTS (SELECT 1 FROM seg2 b
+                WHERE b.route = i.route AND i."end" > b.beg AND i.beg < b."end")
+),
+runs AS (
+  SELECT *, CASE WHEN lag("end") OVER (PARTITION BY route, rid ORDER BY beg) = beg
+                 THEN 0 ELSE 1 END AS nr
+  FROM cov
+),
+runs2 AS (
+  SELECT *, sum(nr) OVER (PARTITION BY route, rid ORDER BY beg
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM runs
+)
+SELECT route, min(beg) AS beg, max("end") AS "end",
+       rid AS constrained_index
+FROM runs2 GROUP BY route, rid, run
+""",
+        "seg_next_overlapping": f"""
+WITH {_SEG_SQL}
+SELECT route, beg, "end",
+       coalesce(lead(beg) OVER (PARTITION BY route ORDER BY beg, "end", val) < "end",
+                false) AS nov
+FROM seg
+""",
+        "point_tiles": f"""
+WITH {_PTS_SQL}
+SELECT route, loc,
+       6 * 288230376151711744
+       + (CAST(floor(loc / 64.0) AS BIGINT) + 268435456) * 536870912
+       + (CAST(floor((pval % 500.0) / 64.0) AS BIGINT) + 268435456) AS tile_id
+FROM pts
+""",
+        "seg_profile_sum": f"""
+WITH {_SEG_SQL}, {_SEG2_SQL},
+segr AS (
+  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val) AS rid FROM seg
+),
+j AS (
+  SELECT l.rid, l.route, l.beg, l."end",
+         coalesce(sum(round(
+           ((CASE WHEN (least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1)) < 0.5 THEN 2*(least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1))*(least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1)) ELSE -2*(least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1))*(least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1)) + 4*(least(greatest((least(l."end", r."end") - r.beg) / (r."end" - r.beg), 0), 1)) - 1 END) - (CASE WHEN (least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1)) < 0.5 THEN 2*(least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1))*(least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1)) ELSE -2*(least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1))*(least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1)) + 4*(least(greatest((greatest(l.beg, r.beg) - r.beg) / (r."end" - r.beg), 0), 1)) - 1 END))
+           * (r."end" - r.beg) * (r."end" - r.beg) * r.qty)), 0.0) AS psum
+  FROM segr l LEFT JOIN seg2 r
+    ON r.route = l.route AND l."end" > r.beg AND l.beg < r."end"
+  GROUP BY l.rid, l.route, l.beg, l."end"
+)
+SELECT route, beg, "end", CAST(psum AS DOUBLE) AS psum FROM j
+""",
+        "docs_ngram_jaccard": f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN n >= 3 THEN
+             list_transform(range(1, n - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [text] END)) AS g
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+posting AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 2000),
+sh2 AS (SELECT sh.doc_id, sh.g FROM sh JOIN posting USING (g)),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh2 x JOIN sh2 y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+FROM p JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
 """,
         "docs_dedup_exact": """
 SELECT doc_id, md5(text) AS text_hash,

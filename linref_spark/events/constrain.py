@@ -49,6 +49,12 @@ def constrain_to(
         (F.col("index_0") >= 0) & (F.col("index_1") >= 0)
     )
     keys = list(lrs.key_cols)
+    # coverage semantics: one row per (interval, source event). The expand
+    # cross-product also multiplies by reference matches; the reference
+    # library documents overlapping reference events as unsupported
+    # ("may produce unexpected results", ext/base.py:2003-2007) — here we
+    # define the behavior as boolean coverage and dedupe.
+    covered = covered.dropDuplicates([*keys, "beg", "end", "index_0"])
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end", closed=lrs.closed)
     out = covered.withColumnRenamed("index_0", inverse_col).drop("index_1", EVENT_ID)
     if dissolve:

@@ -383,3 +383,67 @@ def snap_points_batch(
     if ms is None:
         return dist, along
     return dist, _interp_monotonic(cd, ms, along)
+
+
+def densify_polyline(
+    xs: np.ndarray, ys: np.ndarray, max_seg_frac: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Insert vertices so no segment exceeds ``max_seg_frac`` of total
+    length (the ``densify`` option of the Hausdorff matcher,
+    ``linref/ext/spatial.py:76-81``)."""
+    cd = cumdist(xs, ys)
+    total = cd[-1]
+    if total == 0 or max_seg_frac <= 0:
+        return xs, ys
+    step = total * max_seg_frac
+    out_x, out_y = [xs[0]], [ys[0]]
+    for i in range(len(xs) - 1):
+        seg = cd[i + 1] - cd[i]
+        n_extra = int(np.ceil(seg / step)) - 1 if seg > 0 else 0
+        for j in range(1, n_extra + 1):
+            t = j / (n_extra + 1)
+            out_x.append(xs[i] + t * (xs[i + 1] - xs[i]))
+            out_y.append(ys[i] + t * (ys[i + 1] - ys[i]))
+        out_x.append(xs[i + 1])
+        out_y.append(ys[i + 1])
+    return np.array(out_x), np.array(out_y)
+
+
+def _directed_hausdorff(
+    axs: np.ndarray, ays: np.ndarray, bxs: np.ndarray, bys: np.ndarray
+) -> float:
+    """max over A's vertices of distance to polyline B (vectorized)."""
+    bx0, by0 = bxs[:-1], bys[:-1]
+    dx, dy = bxs[1:] - bx0, bys[1:] - by0
+    seg_len2 = dx * dx + dy * dy
+    px = axs.reshape(-1, 1)
+    py = ays.reshape(-1, 1)
+    t = np.divide(
+        (px - bx0) * dx + (py - by0) * dy,
+        seg_len2,
+        out=np.zeros((len(axs), len(bx0))),
+        where=seg_len2 > 0,
+    )
+    np.clip(t, 0.0, 1.0, out=t)
+    cx = bx0 + t * dx
+    cy = by0 + t * dy
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    return float(np.sqrt(d2.min(axis=1).max()))
+
+
+def hausdorff_distance(
+    axs: np.ndarray, ays: np.ndarray, bxs: np.ndarray, bys: np.ndarray,
+    densify: float | None = None,
+) -> float:
+    """Symmetric vertex Hausdorff distance between two polylines — the
+    scoring metric of ``parallel_project_hausdorff``
+    (``linref/ext/spatial.py:16-273``; shapely's ``hausdorff_distance``
+    semantics: max over both directed vertex distances, with optional
+    densification for accuracy)."""
+    if densify is not None:
+        axs, ays = densify_polyline(axs, ays, densify)
+        bxs, bys = densify_polyline(bxs, bys, densify)
+    return max(
+        _directed_hausdorff(axs, ays, bxs, bys),
+        _directed_hausdorff(bxs, bys, axs, ays),
+    )

@@ -268,3 +268,107 @@ def clip_points(
     marked = points.withColumn("_inside", inside)
     cond = F.col("_inside") if keep == "inside" else ~F.col("_inside")
     return marked.where(cond).drop("_inside")
+
+
+def project_points_broadcast(
+    routes: DataFrame,
+    points: DataFrame,
+    route_lrs: LRS,
+    buffer: float,
+    res: int = 6,
+    nearest: bool = True,
+    x_col: str = "x",
+    y_col: str = "y",
+    geom_col: str = "geom_m",
+    loc_col: str = "loc_mp",
+    dist_col: str = "snap_dist",
+) -> DataFrame:
+    """Snap with the route geometry held in a Spark broadcast variable.
+
+    The tiled variants ship the geometry struct on every candidate row
+    through Arrow — fine for fat clusters, wasteful when the route table is
+    small (the dissolved-geometry case the north star names). Here the
+    candidate join carries only (route_eid, x, y); each python worker
+    resolves geometry from a broadcast dict once per process. Cuts Arrow
+    traffic by the geometry size x candidate fan-out.
+
+    Semantics identical to :func:`project_points_tiled`.
+    """
+    if EVENT_ID not in points.columns:
+        raise ValueError("points need an event_id column")
+    keys = list(route_lrs.key_cols)
+    if EVENT_ID in routes.columns:
+        rsel = routes.select(
+            F.col(EVENT_ID).alias("_route_eid"), *keys, geom_col
+        )
+    else:
+        rsel = routes.select(
+            F.xxhash64(*keys, F.col(f"{geom_col}.ms")).alias("_route_eid"),
+            *keys,
+            geom_col,
+        )
+    geom_rows = rsel.select("_route_eid", geom_col).collect()
+    spark = routes.sparkSession
+    geom_map = spark.sparkContext.broadcast(
+        {
+            r["_route_eid"]: (
+                np.asarray(r[geom_col]["xs"], dtype=np.float64),
+                np.asarray(r[geom_col]["ys"], dtype=np.float64),
+                np.asarray(r[geom_col]["ms"], dtype=np.float64),
+            )
+            for r in geom_rows
+        }
+    )
+
+    @F.pandas_udf(
+        StructType(
+            [StructField("dist", DoubleType()), StructField("loc_m", DoubleType())]
+        )
+    )
+    def udf_snap_bc(
+        route_eid: pd.Series, px: pd.Series, py: pd.Series
+    ) -> pd.DataFrame:
+        gm = geom_map.value
+        n = len(route_eid)
+        dist = np.full(n, np.nan)
+        loc = np.full(n, np.nan)
+        pxv = px.to_numpy(dtype=np.float64, na_value=np.nan)
+        pyv = py.to_numpy(dtype=np.float64, na_value=np.nan)
+        groups: dict = {}
+        for i, k in enumerate(route_eid):
+            groups.setdefault(k, []).append(i)
+        for k, idx in groups.items():
+            g = gm.get(k)
+            if g is None:
+                continue
+            ii = np.array(idx)
+            d, m_out = K.snap_points_batch(g[0], g[1], g[2], pxv[ii], pyv[ii])
+            dist[ii] = d
+            loc[ii] = m_out
+        return pd.DataFrame({"dist": dist, "loc_m": loc})
+
+    rt = with_polyline_tiles(rsel, geom_col, res=res, buffer=buffer).drop(
+        geom_col
+    )
+    pt = with_point_tile(points, x_col, y_col, res=res)
+    cand = pt.join(F.broadcast(rt), on="tile_id", how="inner").drop("tile_id")
+    snap = udf_snap_bc(F.col("_route_eid"), F.col(x_col), F.col(y_col))
+    cand = (
+        cand.withColumn("_snap", snap)
+        .withColumn(dist_col, F.col("_snap.dist"))
+        .withColumn(loc_col, F.col("_snap.loc_m"))
+        .drop("_snap")
+        .where(F.col(dist_col) <= buffer)
+    )
+    if nearest:
+        w = Window.partitionBy(EVENT_ID).orderBy(
+            F.col(dist_col).asc(),
+            *[F.col(k).asc() for k in keys],
+            F.col("_route_eid").asc(),
+        )
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return cand.drop("_route_eid")

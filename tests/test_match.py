@@ -1,0 +1,80 @@
+"""Hausdorff line-to-line matching tests (semantics per
+``/root/reference/linref/ext/spatial.py:16-273``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linref_spark.events.frame import add_event_id
+from linref_spark.geometry import kernels as K
+from linref_spark.geometry.udfs import add_geom_m
+from linref_spark.lrs import LRS
+from linref_spark.spatial.match import match_lines_hausdorff
+
+TLRS = LRS(key_cols=("route",), beg_col="beg", end_col="end", closed="left_mod")
+
+
+def test_hausdorff_kernel():
+    a = (np.array([0.0, 10.0]), np.array([0.0, 0.0]))
+    b = (np.array([0.0, 10.0]), np.array([1.0, 1.0]))
+    assert K.hausdorff_distance(*a, *b) == pytest.approx(1.0)
+    c = (np.array([0.0, 5.0, 10.0]), np.array([0.0, 3.0, 0.0]))
+    assert K.hausdorff_distance(*a, *c) == pytest.approx(3.0)
+    # densify doesn't lower the vertex bound here (symmetric V shape)
+    assert K.hausdorff_distance(*a, *c, densify=0.1) == pytest.approx(3.0)
+
+
+def test_densify():
+    xs, ys = K.densify_polyline(np.array([0.0, 10.0]), np.array([0.0, 0.0]), 0.25)
+    assert len(xs) == 5 and xs[1] == pytest.approx(2.5)
+
+
+@pytest.fixture(scope="module")
+def network(spark):
+    rows = [
+        ("A", 0.0, 10.0, [0.0, 10.0], [0.0, 0.0]),
+        ("B", 0.0, 10.0, [0.0, 10.0], [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, ["route", "beg", "end", "geom_xs", "geom_ys"])
+    return add_geom_m(add_event_id(df, TLRS), TLRS).cache()
+
+
+def test_match_lines_basic(spark, network):
+    # projected line hugging route A between x=2..8, offset 0.2
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [0.2, 0.2], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    out = match_lines_hausdorff(network, proj, TLRS, buffer=1.0, match=1)
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.route == "A"
+    assert r.hausdorff == pytest.approx(0.2)
+    assert r.beg_m == pytest.approx(2.0) and r.end_m == pytest.approx(8.0)
+    assert r.match_rank == 1
+
+
+def test_match_lines_reversed_endpoints(spark, network):
+    proj = spark.createDataFrame(
+        [(0, {"xs": [8.0, 2.0], "ys": [0.1, 0.1], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    r = match_lines_hausdorff(network, proj, TLRS, buffer=1.0).first()
+    assert r.beg_m == pytest.approx(2.0) and r.end_m == pytest.approx(8.0)
+
+
+def test_match_lines_max_distance_filters(spark, network):
+    # line midway between A (y=0) and B (y=5) but nearer A
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [2.0, 2.0], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    none = match_lines_hausdorff(network, proj, TLRS, buffer=3.5, max_distance=1.0)
+    assert none.count() == 0
+    both = match_lines_hausdorff(network, proj, TLRS, buffer=3.5, match=0)
+    rows = {r.route: r for r in both.collect()}
+    assert rows["A"].match_rank == 1 and rows["A"].hausdorff == pytest.approx(2.0)
+    assert rows["B"].match_rank == 2 and rows["B"].hausdorff == pytest.approx(3.0)

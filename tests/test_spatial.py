@@ -146,3 +146,17 @@ def test_tile_aggregate(spark, roads):
     agg = T.tile_aggregate(tiled)
     assert agg.count() > 0
     assert agg.agg(F.sum("n")).first()[0] == tiled.count()
+
+
+def test_project_points_broadcast_matches_tiled(spark, roads):
+    from linref_spark.spatial.join import project_points_broadcast
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 0.05), (2, 15.0, 0.02), (3, 7.0, 10.1), (4, 500.0, 500.0)],
+        ["event_id", "x", "y"],
+    )
+    a = project_points_tiled(roads, pts, ROADS_LRS, buffer=1.0, res=6)
+    b = project_points_broadcast(roads, pts, ROADS_LRS, buffer=1.0, res=6)
+    ga = sorted((r.event_id, r.route, round(r.loc_mp, 9)) for r in a.collect())
+    gb = sorted((r.event_id, r.route, round(r.loc_mp, 9)) for r in b.collect())
+    assert ga == gb

@@ -33,7 +33,7 @@ from linref_spark.lrs import LRS  # noqa: E402
 from linref_spark.relate import agg as AGG  # noqa: E402
 from linref_spark.relate.join import JoinStrategy, overlay_pairs  # noqa: E402
 from linref_spark.session import get_spark  # noqa: E402
-from linref_spark.spatial.join import project_points_tiled  # noqa: E402
+from linref_spark.spatial.join import project_points_broadcast  # noqa: E402
 from linref_spark.spatial.tiles import tile_aggregate, with_point_tile  # noqa: E402
 from linref_spark.web.pages import (  # noqa: E402
     generate_pages,
@@ -73,9 +73,7 @@ def pages_workload(spark, rows: int, partitions: int, routes) -> int:
         ).alias("y"),
         (F.col("extracted_text") == F.col("text")).alias("_audit"),
     )
-    snapped = project_points_tiled(
-        routes, pts, RLRS, buffer=5.0, res=8, broadcast_routes=True
-    )
+    snapped = project_points_broadcast(routes, pts, RLRS, buffer=5.0, res=8)
     agg = tile_aggregate(with_point_tile(snapped, "x", "y", res=8))
     return int(agg.agg(F.sum("n")).first()[0])
 
@@ -110,9 +108,7 @@ def snap_workload(spark, rows: int, partitions: int, routes) -> int:
         (F.pmod(F.xxhash64("id"), 10000) / 100.0).alias("x"),
         (F.pmod(F.xxhash64("id", F.lit(3)), 100000) / 100.0).alias("y"),
     )
-    s = project_points_tiled(
-        routes, pts, RLRS, buffer=3.0, res=7, broadcast_routes=True
-    )
+    s = project_points_broadcast(routes, pts, RLRS, buffer=3.0, res=7)
     return s.count()
 
 
@@ -128,9 +124,9 @@ def best_of(fn, n: int = 2) -> tuple[float, int]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
-    ap.add_argument("--pages", type=int, default=2_000_000)
-    ap.add_argument("--join-rows", type=int, default=6_000_000)
-    ap.add_argument("--snap-points", type=int, default=3_000_000)
+    ap.add_argument("--pages", type=int, default=6_000_000)
+    ap.add_argument("--join-rows", type=int, default=4_000_000)
+    ap.add_argument("--snap-points", type=int, default=8_000_000)
     args = ap.parse_args()
 
     spark = get_spark(
