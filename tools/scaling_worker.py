@@ -92,14 +92,28 @@ def make_intervals(spark, n: int, seed: int, partitions: int):
 
 
 def join_workload(spark, rows: int, partitions: int) -> int:
+    """Pair production + overlay weights + global checksum. Per-key
+    aggregation correctness is gated by the DuckDB oracles; a keyed
+    aggregate here would measure single-host hash-map DRAM latency, not
+    the join (see BENCH/BASELINE.md)."""
     a = make_intervals(spark, rows, 1, partitions)
     b = make_intervals(spark, rows, 7, partitions)
     pairs = overlay_pairs(
         a, b, ILRS, ILRS, strategy=JoinStrategy("binned", bin_size=20.0)
     )
-    out = AGG.agg_sum(pairs, a, b, "val", out_col="s")
-    n = out.agg(F.count(F.lit(1)), F.sum("s")).first()[0]
-    return int(n)
+    r = pairs.agg(F.count(F.lit(1)), F.sum("weight")).first()
+    return int(r[0])
+
+
+def calib_workload(spark, rows: int, partitions: int) -> int:
+    """Pure whole-stage-codegen compute (xxhash over a range): the Spark
+    compute-scaling ceiling on this host."""
+    return int(
+        spark.range(0, rows, 1, partitions)
+        .select(F.shiftright(F.xxhash64("id"), 33).alias("h"))
+        .agg(F.sum("h"))
+        .first()[0] % 1000000
+    )
 
 
 def snap_workload(spark, rows: int, partitions: int, routes) -> int:
@@ -110,6 +124,29 @@ def snap_workload(spark, rows: int, partitions: int, routes) -> int:
     )
     s = project_points_broadcast(routes, pts, RLRS, buffer=3.0, res=7)
     return s.count()
+
+
+def host_cpu_rate(procs: int, seconds: float = 2.0) -> float:
+    """Independent host-CPU control: aggregate ops/sec of `procs` python
+    busy-loop processes (no JVM, no Spark). Measures how much CPU the
+    (virtualized) host is actually granting in this time window."""
+    import multiprocessing as mp
+
+    def burn(q):
+        import time as _t
+        x, n, t0 = 0, 0, _t.time()
+        while _t.time() - t0 < seconds:
+            for _ in range(100000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n += 100000
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return total / seconds
 
 
 def best_of(fn, n: int = 2) -> tuple[float, int]:
@@ -124,15 +161,25 @@ def best_of(fn, n: int = 2) -> tuple[float, int]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
-    ap.add_argument("--pages", type=int, default=6_000_000)
-    ap.add_argument("--join-rows", type=int, default=4_000_000)
-    ap.add_argument("--snap-points", type=int, default=8_000_000)
+    ap.add_argument("--pages", type=int, default=3_000_000)
+    ap.add_argument("--join-rows", type=int, default=6_000_000)
+    ap.add_argument("--calib-rows", type=int, default=20_000_000_000)
+    ap.add_argument("--snap-points", type=int, default=4_000_000)
     args = ap.parse_args()
 
-    spark = get_spark(
-        f"scaling-{args.cpus}",
-        master=f"local[{args.cpus}]",
-        shuffle_partitions=256,
+    import os as _os
+    _os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    from pyspark.sql import SparkSession
+    spark = (
+        SparkSession.builder.appName(f"scaling-{args.cpus}")
+        .master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 8))
+        .config("spark.local.dir", "/dev/shm/spark-tmp")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     routes = make_routes(spark, 200).cache()
@@ -144,21 +191,22 @@ def main():
     join_workload(spark, 50_000, parts)
     snap_workload(spark, 50_000, parts, routes)
 
+    calib_workload(spark, 1_000_000, parts)
+    t_calib, _ = best_of(lambda: calib_workload(spark, args.calib_rows, parts))
     t_pages, n_docs = best_of(lambda: pages_workload(spark, args.pages, parts, routes))
     t_join, n_join = best_of(lambda: join_workload(spark, args.join_rows, parts))
-    # join throughput counts produced pair rows
-    from linref_spark.relate.join import overlay_pairs as _op  # count pairs once
-    n_pairs = _op(
-        make_intervals(spark, args.join_rows, 1, parts),
-        make_intervals(spark, args.join_rows, 7, parts),
-        ILRS, ILRS, strategy=JoinStrategy("binned", bin_size=20.0),
-    ).count()
+    n_pairs = n_join
     t_snap, n_snap = best_of(lambda: snap_workload(spark, args.snap_points, parts, routes))
 
+    host_rate = host_cpu_rate(args.cpus)
     print(
         json.dumps(
             {
                 "cpus": args.cpus,
+                "host_cpu_ops_per_sec": round(host_rate, 1),
+                "calib_rows": args.calib_rows,
+                "calib_sec": round(t_calib, 3),
+                "calib_rows_per_sec": round(args.calib_rows / t_calib, 1),
                 "docs": n_docs,
                 "pages_sec": round(t_pages, 3),
                 "docs_per_sec": round(n_docs / t_pages, 1),
