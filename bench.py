@@ -72,14 +72,37 @@ def bench_queries(spark):
         materialize(E.q_ann_topk(spark, SF_DIR))
 
     def q_pages_pipeline():
+        from linref_spark.events.frame import add_event_id
+        from linref_spark.geometry.udfs import add_geom_m
+        from linref_spark.lrs import LRS
+        from linref_spark.spatial.join import project_points_broadcast
+        from linref_spark.spatial.tiles import tile_aggregate, with_point_tile
+
         pages = generate_pages(spark, PAGES_ROWS, n_partitions=CPUS * 4)
         extracted = with_extracted_text(pages)
-        geo = geocode_pages(extracted)
-        agg = geo.groupBy("route_id").agg(
-            F.count("*").alias("n_pages"),
-            F.sum(F.length("extracted_text")).alias("bytes"),
+        geo = geocode_pages(extracted, n_routes=100, route_length=100.0)
+        rlrs = LRS(key_cols=("route_id",), beg_col="beg", end_col="end")
+        routes = spark.range(100).select(
+            F.concat(F.lit("R"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("route_id"),
+            F.lit(0.0).alias("beg"), F.lit(100.0).alias("end"),
+            F.array(F.lit(0.0), F.lit(60.0), F.lit(100.0)).alias("geom_xs"),
+            F.transform(
+                F.array(F.lit(0.0), F.lit(1.0), F.lit(2.0)),
+                lambda v: v + F.col("id").cast("double") * 5.0,
+            ).alias("geom_ys"),
         )
-        materialize(agg)
+        routes = add_geom_m(add_event_id(routes, rlrs), rlrs)
+        pts = geo.select(
+            F.xxhash64("url").alias("event_id"),
+            F.col("loc_mp").alias("x"),
+            (
+                F.substring("route_id", 2, 4).cast("double") * 5.0
+                + F.col("loc_mp") / 100.0 * 2.0
+            ).alias("y"),
+            (F.col("extracted_text") == F.col("text")).alias("_audit"),
+        )
+        snapped = project_points_broadcast(routes, pts, rlrs, buffer=5.0, res=8)
+        materialize(tile_aggregate(with_point_tile(snapped, "x", "y", res=8)))
 
     return {
         "count_overlaps_equi": q_count_overlaps_equi,

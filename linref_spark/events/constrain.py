@@ -101,3 +101,42 @@ def impute_keys(
         else:
             out = out.withColumnRenamed(f"_imp_{col}", col)
     return out
+
+
+def split_at_locs(
+    df: DataFrame,
+    locs_df: DataFrame,
+    lrs: LRS,
+    locs_lrs: LRS,
+    inverse_col: str = "split_index",
+    attr_cols: Optional[Sequence[str]] = None,
+    strategy: JoinStrategy = EQUI,
+) -> DataFrame:
+    """Split linear events at point locations on the same routes.
+
+    The interval-algebra core of ``LRS_Accessor.split``
+    (``linref/ext/base.py:2091-2213``): integrate the subject with the
+    point layer (``split_at_locs=True``) so every point inside an event
+    becomes a cut edge; keep intervals belonging to a subject event; carry
+    the source id (and optionally re-joined attributes). The reference's
+    geometric mask-discovery leg (polygon boundary -> projected locs) is
+    :func:`linref_spark.spatial.join.project_points_tiled` +
+    :func:`linref_spark.spatial.join.clip_points` composed upstream.
+    """
+    lrs.validate_frame(df)
+    integrated = integrate(
+        [(df, lrs), (locs_df, locs_lrs)],
+        fill_gaps=False,
+        split_at_locs=True,
+        expand=True,
+        strategy=strategy,
+    )
+    keys = list(lrs.key_cols)
+    out = integrated.where(F.col("index_0") >= 0)
+    out = out.dropDuplicates([*keys, "beg", "end", "index_0"])
+    out = out.withColumnRenamed("index_0", inverse_col).drop("index_1", EVENT_ID)
+    if attr_cols:
+        attrs = df.select(F.col(EVENT_ID).alias("_src"), *attr_cols)
+        out = out.join(attrs, on=F.col(inverse_col) == F.col("_src"), how="left")
+        out = out.drop("_src")
+    return out

@@ -382,3 +382,66 @@ def udf_snap_by_geom(
         dist[ii] = d
         loc[ii] = m_out
     return pd.DataFrame({"dist": dist, "loc_m": loc})
+
+
+def generate_linear_events(
+    df: DataFrame,
+    lrs: LRS,
+    xs_col: str = "geom_xs",
+    ys_col: str = "geom_ys",
+    scale: float = 1.0,
+    decimals: Optional[int] = None,
+    beg_col: str = "beg",
+    end_col: str = "end",
+    chain_col: str = "chain",
+    add_geom: bool = True,
+    geom_col: str = "geom_m",
+) -> DataFrame:
+    """Build an LRS from geometry (``LRS_Accessor.generate_linear_events``,
+    ``linref/ext/base.py:1310-1477``): per group, order parts by greedy
+    line-merge, accumulate scaled (optionally rounded) lengths ACROSS the
+    whole merge order (chains share the running measure, matching the
+    reference's global cumsum at ``ext/base.py:1443-1446``), assign
+    [beg, end) to each part in its original row order, tag chain indices,
+    and optionally lift to M-enabled geometry.
+
+    ``applyInPandas`` per route key: the merge is sequential per group,
+    parallel across groups.
+    """
+    keys = list(lrs.key_cols)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(beg_col, DoubleType()),
+            StructField(end_col, DoubleType()),
+            StructField(chain_col, DoubleType()),
+        ]
+    )
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(EVENT_ID).reset_index(drop=True)
+        lines = [
+            (_np(x), _np(y), np.zeros(len(x)))
+            for x, y in zip(pdf[xs_col], pdf[ys_col])
+        ]
+        _merged, orders, chains = K.merge_lines(lines, allow_mismatch=True)
+        lengths = np.array(
+            [K.cumdist(_np(x), _np(y))[-1] for x, y in zip(pdf[xs_col], pdf[ys_col])]
+        ) * scale
+        if decimals is not None:
+            lengths = np.round(lengths, decimals=decimals)
+        orders = np.array(orders)
+        sorter = np.argsort(orders)
+        cum = np.cumsum(lengths[orders])
+        begs = np.append(0.0, cum[:-1])[sorter]
+        ends = cum[sorter]
+        pdf[beg_col] = begs
+        pdf[end_col] = ends
+        pdf[chain_col] = [float(c) for c in chains]
+        return pdf
+
+    out = df.groupBy(*keys).applyInPandas(gen, schema)
+    if add_geom:
+        glrs = LRS(key_cols=tuple(keys), beg_col=beg_col, end_col=end_col)
+        out = add_geom_m(out, glrs, xs_col=xs_col, ys_col=ys_col, out_col=geom_col)
+    return out

@@ -104,3 +104,45 @@ def test_resize_is_explicit_stub(spark):
     df = spark.createDataFrame([(0, b"")], ["media_id", "media"])
     with pytest.raises(NotImplementedError):
         MM.resize_stub(df)
+
+
+def test_split_at_locs(spark):
+    from linref_spark.events.constrain import split_at_locs
+
+    seg, slrs = make_events(
+        spark, begs=[0.0, 10.0], ends=[10.0, 20.0], groups=["R", "R"],
+        extra={"attr": ["a", "b"]},
+    )
+    pts, plrs = make_events(spark, locs=[4.0, 15.0], groups=["R", "R"])
+    out = split_at_locs(seg, pts, slrs, plrs, attr_cols=["attr"])
+    got = rows(out, "beg", "end", "split_index", "attr", order=("beg",))
+    assert got == [
+        (0.0, 4.0, 0, "a"), (4.0, 10.0, 0, "a"),
+        (10.0, 15.0, 1, "b"), (15.0, 20.0, 1, "b"),
+    ]
+
+
+def test_generate_linear_events(spark):
+    from linref_spark.geometry.udfs import generate_linear_events
+    from linref_spark.lrs import LRS
+    from linref_spark.events.frame import add_event_id
+
+    # group R: two contiguous parts given out of order + one disjoint part
+    rows_ = [
+        ("R", [3.0, 7.0], [0.0, 0.0]),   # second in chain (len 4)
+        ("R", [0.0, 3.0], [0.0, 0.0]),   # first in chain (len 3)
+        ("R", [50.0, 52.0], [5.0, 5.0]),  # disjoint chain (len 2)
+    ]
+    df = spark.createDataFrame(rows_, ["route", "geom_xs", "geom_ys"])
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    df = add_event_id(df, order_by=["route", "geom_xs"])
+    out = generate_linear_events(df, lrs, scale=2.0)
+    got = {tuple(r.geom_xs): (r.beg, r.end, r.chain) for r in out.collect()}
+    # merge order: part(0-3) then part(3-7) chain 0, then disjoint chain 1;
+    # measures are a global cumsum x scale (ext/base.py:1443-1446)
+    assert got[(0.0, 3.0)] == (0.0, 6.0, 0.0)
+    assert got[(3.0, 7.0)] == (6.0, 14.0, 0.0)
+    assert got[(50.0, 52.0)] == (14.0, 18.0, 1.0)
+    # M geometry endpoints match the generated bounds
+    ms = {tuple(r.geom_xs): list(r.geom_m.ms) for r in out.collect()}
+    assert ms[(0.0, 3.0)] == [0.0, 6.0]
