@@ -221,7 +221,6 @@ def q_seg_integrate(spark, sf_dir):
 
 
 def q_seg_distribute(spark, sf_dir):
-    # rows-only check (positional sliding-window op; not concisely ANSI-SQL)
     seg = _seg(spark, sf_dir, 1)
     pts = _pts(spark, sf_dir)
     pairs = intersect_pairs(seg, pts, SEG_LRS, PTS_LRS)
@@ -725,6 +724,49 @@ SELECT a, b,
        CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
 FROM p JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+""",
+        "seg_distribute": f"""
+WITH {_SEG_SQL}, {_PTS_SQL},
+segr AS (
+  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val) - 1 AS pos
+  FROM seg
+),
+ptsr AS (
+  SELECT *, row_number() OVER (ORDER BY route, loc, pval, status) - 1 AS j
+  FROM pts
+),
+m AS (
+  SELECT l.pos AS q, p.j
+  FROM segr l JOIN ptsr p
+    ON p.route = l.route AND p.loc > l.beg AND p.loc <= l."end"
+),
+offs AS (
+  SELECT * FROM (VALUES
+    (0, 1.0),
+    (-1, 1.0 - 1.0/3.0), (1, 1.0 - 1.0/3.0),
+    (-2, 1.0 - 2.0/3.0), (2, 1.0 - 2.0/3.0)
+  ) AS t(d, dw)
+),
+contrib AS (
+  SELECT m.q + o.d AS r, m.j, o.dw AS c FROM m, offs o
+),
+placed AS (
+  SELECT c.r, c.j, c.c * (t."end" - t.beg) AS c
+  FROM contrib c
+  JOIN segr t ON t.pos = c.r
+  JOIN ptsr p ON p.j = c.j
+  WHERE t.route = p.route
+),
+normed AS (
+  SELECT r, j,
+         CASE WHEN sum(c) OVER (PARTITION BY j) <> 0
+              THEN c / sum(c) OVER (PARTITION BY j) ELSE c END AS share
+  FROM placed
+),
+agg AS (SELECT r, sum(share) AS score FROM normed GROUP BY r)
+SELECT s.route, s.beg, s."end",
+       round(coalesce(a.score, 0.0), 4) AS score
+FROM segr s LEFT JOIN agg a ON a.r = s.pos
 """,
         "docs_dedup_exact": """
 SELECT doc_id, md5(text) AS text_hash,
