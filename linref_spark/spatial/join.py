@@ -42,6 +42,17 @@ XY_LIST_TYPE = ArrayType(
 )
 
 
+
+def _resolve_key_collisions(points: DataFrame, keys: list) -> DataFrame:
+    """Route key columns win their names in snap outputs; identically-named
+    point columns are preserved with a ``_point`` suffix (mirrors the
+    suffixing of the reference's sjoin, ``ext/base.py:3132-3140``)."""
+    for k in keys:
+        if k in points.columns:
+            points = points.withColumnRenamed(k, f"{k}_point")
+    return points
+
+
 def project_points_tiled(
     routes: DataFrame,
     points: DataFrame,
@@ -71,6 +82,7 @@ def project_points_tiled(
     if EVENT_ID not in points.columns:
         raise ValueError("points need an event_id column")
     keys = list(route_lrs.key_cols)
+    points = _resolve_key_collisions(points, keys)
     # route ROW identity (a route key may span several geometry rows; the
     # nearest-row decision needs every row as its own candidate)
     if EVENT_ID in routes.columns:
@@ -297,6 +309,7 @@ def project_points_broadcast(
     if EVENT_ID not in points.columns:
         raise ValueError("points need an event_id column")
     keys = list(route_lrs.key_cols)
+    points = _resolve_key_collisions(points, keys)
     if EVENT_ID in routes.columns:
         rsel = routes.select(
             F.col(EVENT_ID).alias("_route_eid"), *keys, geom_col
