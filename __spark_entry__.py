@@ -378,6 +378,41 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_spatial_snap(spark, sf_dir):
+    """kNN nearest-route snapping with an exact SQL oracle: single-segment
+    routes derived from nation, points from customer — the point-to-segment
+    projection has a closed form both engines evaluate identically."""
+    from linref_spark.geometry.udfs import add_geom_m
+    from linref_spark.spatial.join import project_points_tiled
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ax = (F.col("n_nationkey") * 7 % 50).cast("double")
+    ay = (F.col("n_nationkey") * 13 % 50).cast("double")
+    seg_len = F.sqrt(F.lit(20.0 * 20.0 + 5.0 * 5.0))
+    routes = n.select(
+        F.col("n_nationkey").cast("long").alias("rid"),
+        F.lit(0.0).alias("beg"),
+        seg_len.alias("end"),
+        F.array(ax, ax + 20.0).alias("geom_xs"),
+        F.array(ay, ay + 5.0).alias("geom_ys"),
+    )
+    rlrs = LRS(key_cols=("rid",), beg_col="beg", end_col="end")
+    routes = add_geom_m(add_event_id(routes, rlrs), rlrs)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("event_id"),
+        (F.col("c_custkey") % 70).cast("double").alias("x"),
+        (F.col("c_custkey") % 60).cast("double").alias("y"),
+    )
+    out = project_points_tiled(routes, pts, rlrs, buffer=8.0, res=4)
+    return out.select(
+        F.col("event_id").alias("cust"),
+        F.col("rid").cast("long").alias("rid"),
+        F.round("snap_dist", 6).alias("snap_dist"),
+        F.round("loc_mp", 6).alias("loc_mp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -416,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_profile_sum": q_seg_profile_sum,
         "point_tiles": q_point_tiles,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "spatial_snap": q_spatial_snap,
         "seg_distribute": q_seg_distribute,
         "pts_cluster": q_pts_cluster,
         "docs_dedup_exact": q_docs_dedup_exact,
@@ -767,6 +803,40 @@ agg AS (SELECT r, sum(share) AS score FROM normed GROUP BY r)
 SELECT s.route, s.beg, s."end",
        round(coalesce(a.score, 0.0), 4) AS score
 FROM segr s LEFT JOIN agg a ON a.r = s.pos
+""",
+        "spatial_snap": """
+WITH routes AS (
+  SELECT n_nationkey AS rid,
+         CAST(n_nationkey * 7 % 50 AS DOUBLE) AS ax,
+         CAST(n_nationkey * 13 % 50 AS DOUBLE) AS ay
+  FROM nation
+),
+pts AS (
+  SELECT c_custkey AS cust,
+         CAST(c_custkey % 70 AS DOUBLE) AS x,
+         CAST(c_custkey % 60 AS DOUBLE) AS y
+  FROM customer
+),
+cand AS (
+  SELECT p.cust, r.rid, p.x, p.y, r.ax, r.ay,
+         least(greatest(((p.x - r.ax) * 20.0 + (p.y - r.ay) * 5.0)
+               / (20.0*20.0 + 5.0*5.0), 0.0), 1.0) AS t
+  FROM pts p, routes r
+),
+scored AS (
+  SELECT cust, rid,
+         sqrt((x - (ax + t*20.0))*(x - (ax + t*20.0))
+              + (y - (ay + t*5.0))*(y - (ay + t*5.0))) AS dist,
+         t * sqrt(20.0*20.0 + 5.0*5.0) AS along
+  FROM cand
+),
+nearest AS (
+  SELECT cust, rid, dist, along,
+         row_number() OVER (PARTITION BY cust ORDER BY dist, rid) AS rn
+  FROM scored WHERE dist <= 8.0
+)
+SELECT cust, rid, round(dist, 6) AS snap_dist, round(along, 6) AS loc_mp
+FROM nearest WHERE rn = 1
 """,
         "docs_dedup_exact": """
 SELECT doc_id, md5(text) AS text_hash,
