@@ -272,5 +272,11 @@ def agg_value_counts(
     joined = _source_values(pairs, source, value_col, src_id)
     wide = joined.groupBy(tgt_id).pivot("_val").agg(F.count(F.lit(1)))
     out = _join_back(target, wide, tgt_id)
-    fill = {c: 0 for c in wide.columns if c != tgt_id}
-    return out.fillna(fill)
+    # zero-fill via backticked coalesce (pivot names may contain dots,
+    # which fillna would misread as nested-field paths)
+    pivot_cols = [c for c in wide.columns if c != tgt_id]
+    keep = [F.col(f"`{c}`") for c in target.columns]
+    filled = [
+        F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) for c in pivot_cols
+    ]
+    return out.select(*keep, *filled)

@@ -177,3 +177,16 @@ def test_wkt_udfs(spark, roads):
     assert bad == 0
     one = w.where("route = 'SR-1'").select("wkt").first()[0]
     assert one == "LINESTRING M (0 10 0, 15 10 15)"
+
+
+def test_interpolate_udf(spark, roads):
+    from linref_spark.geometry.udfs import udf_interpolate_m
+
+    g = F.col("geom_m")
+    out = roads.withColumn(
+        "pt", udf_interpolate_m(g["xs"], g["ys"], g["ms"], (F.col("beg") + F.col("end")) / 2.0)
+    )
+    got = {(r.route, r.beg): (r.pt.x, r.pt.y) for r in out.collect()}
+    assert got[("US-101", 0.0)] == (5.0, 0.0)
+    assert got[("US-101", 10.0)] == (15.0, 0.0)
+    assert got[("SR-1", 0.0)] == (7.5, 10.0)

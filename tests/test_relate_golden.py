@@ -321,3 +321,13 @@ def test_binned_equals_equi_linear(spark, closed):
         overlay_pairs(left, right, llrs, rlrs, strategy=BINNED), 6, 6, weight=True
     )
     assert np.allclose(wa, wb)
+
+
+def test_value_counts_pivot(spark, agg_fixture):
+    left, right, ipairs, _ = agg_fixture
+    out = A.agg_value_counts(ipairs, left, right, "val", axis=1)
+    rows = {r.event_id: r for r in out.collect()}
+    # left[1] matches right[0] (val 10.0) and right[1] (val 20.0)
+    assert rows[1]["10.0"] == 1 and rows[1]["20.0"] == 1 and rows[1]["30.0"] == 0
+    assert rows[0]["10.0"] == 1 and rows[0]["20.0"] == 0
+    assert rows[2]["30.0"] == 1

@@ -125,3 +125,27 @@ def test_ann_cosine_topk(spark):
     assert b1 == b2
     near = {(r.a, r.b) for r in ANN.cosine_neardup_pairs(df, 3, threshold=0.95).collect()}
     assert (0, 4) in near
+
+
+def test_lsh_topk_matches_brute_force_for_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.normal(scale=0.01, size=8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id < 20")
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in ANN.cosine_topk(df, queries, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in ANN.lsh_topk(df, queries, dim=8, k=1, n_planes=6).collect()
+    }
+    # near-duplicates land in the same sign-LSH bucket with high probability
+    agree = sum(1 for q in brute if approx.get(q) == brute[q])
+    assert agree >= 16  # >= 80% recall at k=1 on twinned vectors
