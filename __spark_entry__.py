@@ -312,7 +312,6 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_seg_separate(spark, sf_dir):
-    # rows-only check (multi-stage window algorithm; not concisely ANSI-SQL)
     seg = _seg(spark, sf_dir, 1)
     out = MOD.separate(seg, SEG_LRS, anchor="centers", method="balanced")
     return out.select("route", "beg", "end")
@@ -837,6 +836,71 @@ nearest AS (
 )
 SELECT cust, rid, round(dist, 6) AS snap_dist, round(along, 6) AS loc_mp
 FROM nearest WHERE rn = 1
+""",
+        "seg_separate": f"""
+WITH {_SEG_SQL},
+segr AS (
+  SELECT *, (beg + "end") / 2.0 AS ctr,
+         row_number() OVER (
+           PARTITION BY route
+           ORDER BY (beg + "end") / 2.0 ASC, ("end" - beg) DESC, val ASC
+         ) AS pos
+  FROM seg
+),
+dup AS (
+  SELECT *, (row_number() OVER (PARTITION BY route, beg, "end" ORDER BY pos) > 1)
+            AS same
+  FROM segr
+),
+ins AS (
+  SELECT *, max("end") OVER (
+              PARTITION BY route
+              ORDER BY beg ASC, ("end" - beg) DESC, val ASC
+              ROWS UNBOUNDED PRECEDING) AS cmx
+  FROM dup
+),
+ins2 AS (
+  SELECT *, min(beg) OVER (PARTITION BY route, cmx) AS cmn FROM ins
+),
+marked AS (
+  SELECT *,
+         (same OR ((beg >= cmn AND "end" < cmx) OR (beg > cmn AND "end" <= cmx)))
+         AS elim
+  FROM ins2
+),
+valid AS (
+  SELECT *,
+         lag("end") OVER w AS prev_end,
+         lag(ctr)   OVER w AS prev_ctr,
+         lead(beg)  OVER w AS next_beg,
+         lead(ctr)  OVER w AS next_ctr
+  FROM marked WHERE NOT elim
+  WINDOW w AS (PARTITION BY route ORDER BY pos)
+),
+adjusted AS (
+  SELECT route,
+    CASE WHEN prev_end IS NOT NULL AND (
+        (prev_end > beg AND prev_end >= least(greatest((prev_end + beg)/2.0, prev_ctr), ctr)
+                        AND beg <= least(greatest((prev_end + beg)/2.0, prev_ctr), ctr))
+        OR (prev_end > beg AND prev_end >= (prev_ctr + ctr)/2.0 AND beg <= (prev_ctr + ctr)/2.0))
+      THEN CASE WHEN prev_end > beg AND prev_end >= (prev_ctr + ctr)/2.0 AND beg <= (prev_ctr + ctr)/2.0
+                THEN (prev_ctr + ctr)/2.0
+                ELSE least(greatest((prev_end + beg)/2.0, prev_ctr), ctr) END
+      ELSE beg END AS beg,
+    CASE WHEN next_beg IS NOT NULL AND (
+        ("end" > next_beg AND "end" >= least(greatest(("end" + next_beg)/2.0, ctr), next_ctr)
+                          AND next_beg <= least(greatest(("end" + next_beg)/2.0, ctr), next_ctr))
+        OR ("end" > next_beg AND "end" >= (ctr + next_ctr)/2.0 AND next_beg <= (ctr + next_ctr)/2.0))
+      THEN CASE WHEN "end" > next_beg AND "end" >= (ctr + next_ctr)/2.0 AND next_beg <= (ctr + next_ctr)/2.0
+                THEN (ctr + next_ctr)/2.0
+                ELSE least(greatest(("end" + next_beg)/2.0, ctr), next_ctr) END
+      ELSE "end" END AS "end"
+  FROM valid
+),
+eliminated AS (SELECT route, ctr AS beg, ctr AS "end" FROM marked WHERE elim)
+SELECT route, beg, "end" FROM adjusted
+UNION ALL
+SELECT route, beg, "end" FROM eliminated
 """,
         "docs_dedup_exact": """
 SELECT doc_id, md5(text) AS text_hash,
