@@ -119,10 +119,20 @@ def bench_queries(spark):
 
 
 def main():
+    os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
     spark = get_spark("linref-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
     queries = bench_queries(spark)
+    # warm the JVM, Arrow, and python-worker paths so per-query timings
+    # measure the operators, not first-call initialization
+    warm = generate_pages(spark, 2000, n_partitions=CPUS)
+    materialize(with_extracted_text(warm))
+    seg_w = E._seg(spark, SF_DIR, 1).limit(1000)
+    materialize(AGG.agg_count(
+        intersect_pairs(seg_w, seg_w, E.SEG_LRS, E.SEG_LRS, strategy=BINNED),
+        seg_w, out_col="n"))
     times = {}
     for name, fn in queries.items():
         t0 = time.time()
