@@ -17,10 +17,12 @@ From-scratch Spark expressions of the row-adjacency analytics in
 Scale notes
 -----------
 Every window here partitions by the route key, so work distributes by route
-and no global sort is required. ``add_event_id`` is the one deliberately
-test-scale helper: it uses a global ``row_number`` to reproduce linref's
-0..n-1 positional index exactly; production pipelines should mint ids from a
-natural key instead (see ``hash_event_id``).
+and no global sort is required. Dense global ordinals (linref's 0..n-1
+positional index) come from :func:`global_ordinal_id`: a range shuffle +
+per-partition ``row_number`` + a tiny per-partition count offset — identical
+output to an unpartitioned ``Window.orderBy`` ``row_number`` but with every
+stage distributed (no single-task funnel). Pipelines that only need a stable
+unique id should still prefer :func:`hash_event_id` (zero sort).
 """
 
 from __future__ import annotations
@@ -45,15 +47,57 @@ def canonical_order_cols(lrs: LRS) -> list[str]:
     return cols
 
 
+def global_ordinal_id(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = EVENT_ID,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Dense 0-based global ordinal over a total order — distributed.
+
+    Equivalent to ``row_number().over(Window.orderBy(*order_cols)) - 1`` but
+    without the single-task global sort: range-partition on the order key
+    (equal keys co-locate), take a per-partition ``row_number``, then add a
+    per-partition offset computed from a tiny count aggregation (one row per
+    shuffle partition; its cumulative-sum window is over that tiny table,
+    broadcast back). Every stage runs on all partitions, so this survives
+    100x scale where the global window funnels the whole table into one task.
+
+    The ordinal is boundary-independent: whatever range boundaries the
+    partitioner samples, rank-in-total-order is unchanged. Pass tie-breaking
+    columns for full determinism (ties co-locate but number arbitrarily,
+    exactly as with a global window).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        part = df.repartitionByRange(*cols)
+    else:
+        part = df.repartitionByRange(num_partitions, *cols)
+    part = part.withColumn("_ord_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_ord_pid").orderBy(*cols)
+    local = part.withColumn("_ord_local", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
+    w_off = Window.orderBy("_ord_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_ord_off", F.coalesce(F.sum("_ord_n").over(w_off), F.lit(0)).cast("long")
+    ).drop("_ord_n")
+    out = local.join(F.broadcast(offsets), on="_ord_pid")
+    return out.withColumn(
+        out_col, (F.col("_ord_off") + F.col("_ord_local") - 1).cast("long")
+    ).drop("_ord_pid", "_ord_local", "_ord_off")
+
+
 def add_event_id(
     df: DataFrame, lrs: Optional[LRS] = None, order_by: Optional[Sequence] = None
 ) -> DataFrame:
     """Assign a deterministic 0-based ``event_id`` by canonical sort.
 
     Reproduces linref's positional index semantics (``index_data``,
-    ``base.py:408-455``) for parity testing. The global ``row_number`` funnels
-    through one task — fine at test scale, wrong at 100 TB; large pipelines
-    should carry a natural key and use :func:`hash_event_id`.
+    ``base.py:408-455``) exactly, via the distributed
+    :func:`global_ordinal_id` (no single-task sort). Pipelines that only
+    need a stable unique id should prefer :func:`hash_event_id` (zero sort).
     """
     if EVENT_ID in df.columns:
         return df
@@ -61,8 +105,7 @@ def add_event_id(
         if lrs is None:
             raise ValueError("Provide an LRS or explicit order_by for event ids.")
         order_by = canonical_order_cols(lrs)
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(EVENT_ID, F.row_number().over(w).cast("long") - 1)
+    return global_ordinal_id(df, list(order_by), EVENT_ID)
 
 
 def hash_event_id(df: DataFrame, natural_key_cols: Sequence[str]) -> DataFrame:
@@ -166,28 +209,60 @@ def next_consecutive(
 
 
 def consecutive_strings(
-    df: DataFrame, lrs: LRS, out_col: str = "string_id"
+    df: DataFrame, lrs: LRS, out_col: str = "string_id", bucket_bits: int = 20
 ) -> DataFrame:
     """Run id of chained (end == next beg, same group) events.
 
-    ``base.py:915-930``: res[1:] = cumsum(~next_consecutive). Expressed as a
-    running sum of "starts a new run" flags over the collection order —
-    sessionization with zero extra shuffles beyond the group partitioning.
-    Run ids are global (cumsum over the whole collection) to match linref.
+    ``base.py:915-930``: res[1:] = cumsum(~next_consecutive). Run ids are
+    global (cumsum over collection order) to match linref.
+
+    Requires dense 0..n-1 ``event_id`` (:func:`add_event_id`) — collection
+    order IS the id, so:
+
+    - the previous row is recovered by an equi-join on ``event_id - 1``
+      (distributed; no global ``lag`` window);
+    - the global cumsum is a two-level distributed prefix sum: local cumsum
+      within ``event_id >> bucket_bits`` buckets, plus per-bucket offsets
+      from a cumulative sum over the (n / 2^bucket_bits)-row bucket-total
+      table. At 10^12 rows the bucket table is ~10^6 rows — the only
+      single-task stage touches that tiny table.
     """
-    w_ord = Window.orderBy(F.col(EVENT_ID))
-    prv_end = F.lag(F.col(lrs.end_col)).over(w_ord)
-    new_run = F.lit(1)
+    prev_cols = [
+        (F.col(EVENT_ID) + 1).alias("_pv_id"),
+        F.col(lrs.end_col).alias("_pv_end"),
+    ]
+    if lrs.is_grouped:
+        prev_cols.extend(F.col(k).alias(f"_pv_{k}") for k in lrs.key_cols)
+    prev = df.select(*prev_cols)
+    j = df.join(prev, on=F.col(EVENT_ID) == F.col("_pv_id"), how="left")
     same_group = F.lit(True)
     if lrs.is_grouped:
         for k in lrs.key_cols:
-            same_group = same_group & (F.lag(F.col(k)).over(w_ord) == F.col(k))
-    is_consec = prv_end.isNotNull() & same_group & (prv_end == F.col(lrs.beg_col))
-    new_run = F.when(is_consec, F.lit(0)).otherwise(F.lit(1))
-    run_id = F.sum(new_run).over(
-        Window.orderBy(F.col(EVENT_ID)).rowsBetween(Window.unboundedPreceding, 0)
-    ) - 1
-    return df.withColumn(out_col, run_id.cast("long"))
+            same_group = same_group & (F.col(f"_pv_{k}") == F.col(k))
+    is_consec = (
+        F.col("_pv_end").isNotNull()
+        & same_group
+        & (F.col("_pv_end") == F.col(lrs.beg_col))
+    )
+    flagged = j.withColumn(
+        "_nr", F.when(is_consec, F.lit(0)).otherwise(F.lit(1)).cast("long")
+    ).drop("_pv_id", "_pv_end", *[f"_pv_{k}" for k in (lrs.key_cols if lrs.is_grouped else ())])
+
+    bucket = F.shiftright(F.col(EVENT_ID), bucket_bits)
+    flagged = flagged.withColumn("_bk", bucket)
+    w_local = Window.partitionBy("_bk").orderBy(F.col(EVENT_ID)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = flagged.withColumn("_loc", F.sum("_nr").over(w_local))
+    totals = flagged.groupBy("_bk").agg(F.sum("_nr").alias("_bt"))
+    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).cast("long")
+    ).drop("_bt")
+    out = flagged.join(F.broadcast(offsets), on="_bk")
+    return out.withColumn(
+        out_col, (F.col("_boff") + F.col("_loc") - 1).cast("long")
+    ).drop("_bk", "_nr", "_loc", "_boff")
 
 
 def lengths_col(lrs: LRS) -> Column:

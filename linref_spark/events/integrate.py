@@ -23,6 +23,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linref_spark.events.frame import global_ordinal_id
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.relate.join import (
     EQUI,
@@ -80,10 +81,10 @@ def integrate(
         .where(F.col("_next").isNotNull())
         .select(*keys, F.col("_edge").alias("beg"), F.col("_next").alias("end"))
     )
-    w_id = Window.orderBy(*[F.col(k) for k in keys], F.col("beg"))
-    intervals = intervals.withColumn(
-        EVENT_ID, F.row_number().over(w_id).cast("long") - 1
-    ).cache()
+    # dense interval ids in canonical order — distributed ordinal, no
+    # single-task global window (intervals are disjoint per key, so
+    # (keys, beg) is a total order)
+    intervals = global_ordinal_id(intervals, [*keys, "beg"], EVENT_ID).cache()
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------

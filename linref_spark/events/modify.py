@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from linref_spark.events.analyze import find_inside, find_same
-from linref_spark.events.frame import centers_col, lengths_col
+from linref_spark.events.frame import centers_col, global_ordinal_id, lengths_col
 from linref_spark.lrs import EVENT_ID, LRS
 
 SEGMENT_FILL_ALL = {"none", "cut", "left", "right", "extend", "balance"}
@@ -80,8 +80,9 @@ def dissolve(
     if members_col:
         aggs.append(F.sort_array(F.collect_list(F.col(EVENT_ID))).alias(members_col))
     out = sessioned.groupBy(*keys, "_run").agg(*aggs).drop("_run")
-    w_id = Window.orderBy(*[F.col(k) for k in keys], F.col(lrs.beg_col), F.col(lrs.end_col))
-    return out.withColumn(EVENT_ID, F.row_number().over(w_id).cast("long") - 1)
+    # fresh dense ids in canonical order — distributed (range shuffle +
+    # per-partition offsets), identical values to a global row_number
+    return global_ordinal_id(out, [*keys, lrs.beg_col, lrs.end_col], EVENT_ID)
 
 
 def resegment(
@@ -169,10 +170,7 @@ def resegment(
         .withColumnRenamed("_seg_beg", lrs.beg_col)
         .withColumnRenamed("_seg_end", lrs.end_col)
     )
-    w_id = Window.orderBy(F.col(SOURCE_ID), F.col("_i"))
-    return out.withColumn(
-        EVENT_ID, F.row_number().over(w_id).cast("long") - 1
-    ).drop("_i")
+    return global_ordinal_id(out, [SOURCE_ID, "_i"], EVENT_ID).drop("_i")
 
 
 def separate(

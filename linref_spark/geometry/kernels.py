@@ -305,9 +305,11 @@ def segment_intersections(
 
     Exact refinement for the tiled spatial self-join
     (``generate_intersection_pairs``, ``linref/ext/spatial.py:562-670``):
-    standard parametric segment-pair intersection; collinear overlaps
-    contribute their shared endpoints. O(n*m) over segment pairs,
-    vectorized over the second polyline's segments.
+    standard parametric segment-pair intersection. Collinear overlapping
+    segment pairs (|denom| ~ 0 AND cross(q-p, r) ~ 0 — common in road data
+    where parallel geometries share a stretch) contribute the endpoints of
+    their shared interval, matching GEOS boundary behavior. O(n*m) over
+    segment pairs, vectorized over the second polyline's segments.
     """
     pts: list[tuple[float, float]] = []
     ax0, ay0 = xs1[:-1], ys1[:-1]
@@ -327,6 +329,31 @@ def segment_intersections(
         ) & (u <= 1 + eps)
         for j in np.where(hit)[0]:
             pts.append((float(ax0[i] + t[j] * rx), float(ay0[i] + t[j] * ry)))
+        # collinear branch: parallel (denom~0) AND on the same line
+        # (cross(q-p, r)~0) -> project b's endpoints onto a's parameter
+        # axis and emit the overlap interval's endpoints
+        r_len2 = rx * rx + ry * ry
+        if r_len2 <= eps:
+            continue
+        cross_qp_r = qpx * ry - qpy * rx
+        # scale-aware tolerance: the raw cross products grow with segment
+        # length, so normalize by the segment scales
+        scale = np.sqrt(r_len2) * np.sqrt(sx * sx + sy * sy) + eps
+        col = (np.abs(denom) <= eps * scale) & (
+            np.abs(cross_qp_r) <= eps * scale * np.sqrt(r_len2)
+        )
+        if not np.any(col):
+            continue
+        t0 = (qpx * rx + qpy * ry) / r_len2
+        t1 = ((bx1 - ax0[i]) * rx + (by1 - ay0[i]) * ry) / r_len2
+        lo = np.clip(np.minimum(t0, t1), 0.0, 1.0)
+        hi = np.clip(np.maximum(t0, t1), 0.0, 1.0)
+        for j in np.where(col & (hi - lo >= -eps) & (np.maximum(t0, t1) >= -eps) & (np.minimum(t0, t1) <= 1 + eps))[0]:
+            if hi[j] < lo[j]:
+                continue
+            pts.append((float(ax0[i] + lo[j] * rx), float(ay0[i] + lo[j] * ry)))
+            if hi[j] - lo[j] > eps:
+                pts.append((float(ax0[i] + hi[j] * rx), float(ay0[i] + hi[j] * ry)))
     return pts
 
 

@@ -28,6 +28,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from linref_spark.events.frame import global_ordinal_id
 from linref_spark.events.modify import extend as extend_events
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.relate.join import EQUI, JoinStrategy, intersect_pairs
@@ -100,9 +101,12 @@ def cluster(
     link_cols: Optional[Sequence[str]] = None,
     enforce_edges: Optional[bool] = None,
     strategy: JoinStrategy = EQUI,
+    dense_labels: bool = True,
 ) -> DataFrame:
     """Proximity clustering (``ext/base.py:2846-2970``); adds ``name``
-    (long, dense 0-based labels in first-occurrence order)."""
+    (long, dense 0-based labels in first-occurrence order). Pass
+    ``dense_labels=False`` to keep raw min-event-id labels (skips the
+    relabel join entirely; labels stay unique and stable, just not dense)."""
     if max_gap < 0:
         raise ValueError("max_gap must be non-negative.")
 
@@ -141,8 +145,16 @@ def cluster(
         edges = edges.unionByName(linked)
 
     labeled = connected_components(edges, df, out_col="_comp")
-    # dense labels in first-visit (min event_id) order, matching scipy
-    w_rank = Window.orderBy(F.col("_comp"))
-    return labeled.withColumn(
-        name, F.dense_rank().over(w_rank).cast("long") - 1
-    ).drop("_comp")
+    if not dense_labels:
+        # scale path: component label = min event_id in the component —
+        # stable, unique, no relabel pass
+        return labeled.withColumnRenamed("_comp", name)
+    # dense labels in first-visit (min event_id) order, matching scipy.
+    # Relabel over the DISTINCT component ids (<< rows) with a distributed
+    # ordinal — no unpartitioned dense_rank over the full table.
+    comps = labeled.select(F.col("_comp").alias("_c")).distinct()
+    comps = global_ordinal_id(comps, ["_c"], "_dense")
+    out = labeled.join(F.broadcast(comps), on=F.col("_comp") == F.col("_c"))
+    return out.withColumn(name, F.col("_dense").cast("long")).drop(
+        "_comp", "_c", "_dense"
+    )

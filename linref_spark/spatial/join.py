@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BooleanType, DoubleType, StructField, StructType
 
+from linref_spark.events.frame import global_ordinal_id
 from linref_spark.geometry import kernels as K
 from linref_spark.geometry.udfs import (
     udf_locate_point_m,
@@ -224,10 +225,9 @@ def intersection_nodes(
             F.array_distinct(F.flatten(F.collect_list("ids")))
         ).alias("source_ids"),
     )
-    w = Window.orderBy("_qx", "_qy")
-    return nodes.withColumn(
-        "node_id", F.row_number().over(w).cast("long") - 1
-    ).drop("_qx", "_qy")
+    # dense node ids by quantized coordinate order — distributed ordinal
+    nodes = global_ordinal_id(nodes, ["_qx", "_qy"], "node_id")
+    return nodes.drop("_qx", "_qy")
 
 
 @F.pandas_udf(BooleanType())
@@ -294,6 +294,7 @@ def project_points_broadcast(
     geom_col: str = "geom_m",
     loc_col: str = "loc_mp",
     dist_col: str = "snap_dist",
+    max_routes: int = 200_000,
 ) -> DataFrame:
     """Snap with the route geometry held in a Spark broadcast variable.
 
@@ -304,7 +305,10 @@ def project_points_broadcast(
     resolves geometry from a broadcast dict once per process. Cuts Arrow
     traffic by the geometry size x candidate fan-out.
 
-    Semantics identical to :func:`project_points_tiled`.
+    Semantics identical to :func:`project_points_tiled`. Guarded: refuses
+    route tables above ``max_routes`` rows (checked with a bounded
+    ``limit(n+1)`` count before any collect) — use
+    :func:`project_points_tiled` for large route networks.
     """
     if EVENT_ID not in points.columns:
         raise ValueError("points need an event_id column")
@@ -319,6 +323,12 @@ def project_points_broadcast(
             F.xxhash64(*keys, F.col(f"{geom_col}.ms")).alias("_route_eid"),
             *keys,
             geom_col,
+        )
+    if rsel.limit(max_routes + 1).count() > max_routes:
+        raise ValueError(
+            f"project_points_broadcast: route table exceeds max_routes="
+            f"{max_routes}; collecting it would risk a driver OOM. Use "
+            "project_points_tiled for large route networks."
         )
     geom_rows = rsel.select("_route_eid", geom_col).collect()
     spark = routes.sparkSession

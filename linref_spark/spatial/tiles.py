@@ -16,9 +16,9 @@ north rule grades; exact tile-ID golden tests pin it).
 Two cover operators:
 
 - :func:`point_tile` — pure column expression (no UDF);
-- :func:`cover_polyline` — cells covering a buffered polyline, via a numpy
-  kernel (half-cell-step sampling + square dilation by ceil(buffer/s)
-  cells; supercover-complete for the buffered corridor) in an Arrow UDF,
+- :func:`polyline_cover_kernel` — exact-supercover cells of a buffered
+  polyline (vectorized gridline-crossing traversal + corner-touch safety
+  cells + packed-id offset dilation; no Python loops) in an Arrow UDF,
   exploded to (row, tile_id) pairs.
 
 Tile aggregation (rollups to coarser resolutions) is parent() — integer
@@ -84,34 +84,109 @@ def parent_tile(tile: Column, res: int, parent_res: int) -> Column:
     )
 
 
+def _gridline_crossings(
+    p0: np.ndarray, p1: np.ndarray, s: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened (segment_index, t) of every crossing of a gridline
+    ``k*s`` by segments p0[i] -> p1[i]. Fully vectorized: crossing counts
+    per segment are |floor(p1/s) - floor(p0/s)|; ks are built with a
+    repeat/arange prefix trick. t is in [0, 1] by construction."""
+    i0 = np.floor(p0 / s).astype(np.int64)
+    i1 = np.floor(p1 / s).astype(np.int64)
+    lo = np.minimum(i0, i1)
+    cnt = np.abs(i1 - i0)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    seg = np.repeat(np.arange(len(p0), dtype=np.int64), cnt)
+    start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(start, cnt)
+    k = lo[seg] + 1 + within
+    t = (k * s - p0[seg]) / (p1[seg] - p0[seg])
+    return seg, t
+
+
 def polyline_cover_kernel(
     xs: np.ndarray, ys: np.ndarray, res: int, buffer: float
 ) -> np.ndarray:
     """Sorted unique tile ids covering the polyline dilated by ``buffer``.
 
-    Samples each segment at half-cell steps (guaranteeing every traversed
-    cell is hit) and dilates by ceil(buffer/s) cells in a square — a
-    superset cover, exact enough for candidate generation (the exact
-    distance predicate refines afterwards). Deterministic: pure integer
-    arithmetic on floor-divided coordinates.
+    Exact supercover, fully vectorized (no Python loops):
+
+    1. for every segment, collect the parameters t of all vertical and
+       horizontal gridline crossings (arithmetic sequences — see
+       :func:`_gridline_crossings`), plus t=0 and t=1;
+    2. between consecutive crossing parameters the segment stays inside one
+       cell, so the midpoint of every consecutive (sorted) parameter pair
+       lands in exactly that cell — the midpoint cells ARE the traversed
+       cells (supercover-complete, unlike fixed-step sampling which can
+       skip a cell clipped by a chord shorter than the step);
+    3. closed-cell safety: at every crossing/vertex point the four cells
+       within ``eps`` of the point are added, so a segment that touches a
+       grid corner (traversing only the two diagonal cells) still lists
+       the two corner-touching cells — two polylines crossing exactly at a
+       corner are guaranteed a shared candidate tile;
+    4. dilation by ceil(buffer/s) cells is an offset broadcast in packed-id
+       space (the pack is linear in ix and iy).
+
+    Deterministic pure integer/float arithmetic; a superset cover — the
+    exact distance/intersection predicate refines afterwards.
     """
     s = cell_size(res)
     r_cells = int(np.ceil(buffer / s)) if buffer > 0 else 0
-    cells: set[int] = set()
-    for i in range(len(xs) - 1):
-        x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
-        seg_len = float(np.hypot(x1 - x0, y1 - y0))
-        n_steps = max(int(np.ceil(seg_len / (s / 2.0))), 1)
-        t = np.linspace(0.0, 1.0, n_steps + 1)
-        px = x0 + t * (x1 - x0)
-        py = y0 + t * (y1 - y0)
-        ix = np.floor(px / s).astype(np.int64)
-        iy = np.floor(py / s).astype(np.int64)
-        for cx, cy in zip(ix, iy):
-            for dx in range(-r_cells, r_cells + 1):
-                for dy in range(-r_cells, r_cells + 1):
-                    cells.add(pack(int(cx + dx), int(cy + dy), res))
-    return np.array(sorted(cells), dtype=np.int64)
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(xs) == 1:
+        x0 = xs
+        y0 = ys
+        dx = dy = np.zeros(1)
+        seg_all = np.zeros(1, dtype=np.int64)
+        t_all = np.zeros(1, dtype=np.float64)
+    else:
+        x0, y0 = xs[:-1], ys[:-1]
+        x1, y1 = xs[1:], ys[1:]
+        dx, dy = x1 - x0, y1 - y0
+        n = len(x0)
+        segx, tx = _gridline_crossings(x0, x1, s)
+        segy, ty = _gridline_crossings(y0, y1, s)
+        ends = np.arange(n, dtype=np.int64)
+        seg_all = np.concatenate([ends, ends, segx, segy])
+        t_all = np.concatenate([np.zeros(n), np.ones(n), tx, ty])
+
+    order = np.lexsort((t_all, seg_all))
+    seg_s, t_s = seg_all[order], t_all[order]
+
+    # traversed cells from interval midpoints
+    if len(seg_s) > 1:
+        same = seg_s[1:] == seg_s[:-1]
+        tm = ((t_s[1:] + t_s[:-1]) / 2.0)[same]
+        segm = seg_s[1:][same]
+        mx = x0[segm] + tm * dx[segm]
+        my = y0[segm] + tm * dy[segm]
+    else:
+        mx = my = np.empty(0, dtype=np.float64)
+
+    # corner-touch safety cells at every crossing / vertex point
+    px = x0[seg_s] + t_s * dx[seg_s]
+    py = y0[seg_s] + t_s * dy[seg_s]
+    eps = s * 1e-9
+    cx = np.concatenate(
+        [mx, px - eps, px - eps, px + eps, px + eps]
+    )
+    cy = np.concatenate(
+        [my, py - eps, py + eps, py - eps, py + eps]
+    )
+    ix = np.floor(cx / s).astype(np.int64)
+    iy = np.floor(cy / s).astype(np.int64)
+    base = (np.int64(res) << 58) + ((ix + _BIAS) << 29) + (iy + _BIAS)
+    cells = np.unique(base)
+    if r_cells > 0:
+        d = np.arange(-r_cells, r_cells + 1, dtype=np.int64)
+        offs = (d[:, None] * (1 << 29) + d[None, :]).ravel()
+        cells = np.unique((cells[:, None] + offs).ravel())
+    return cells
 
 
 def make_cover_udf(res: int, buffer: float):

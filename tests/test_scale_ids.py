@@ -1,0 +1,198 @@
+"""Scale-path id assignment + supercover/collinear kernel tests.
+
+The distributed dense-ordinal (``global_ordinal_id``) must produce values
+IDENTICAL to an unpartitioned global ``row_number`` window — that is the
+whole point: linref's positional-index parity without the single-task sort.
+These tests exercise it with enough rows to span many range partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from linref_spark.events.frame import (
+    add_event_id,
+    consecutive_strings,
+    global_ordinal_id,
+)
+from linref_spark.geometry import kernels as K
+from linref_spark.lrs import LRS
+from linref_spark.spatial import tiles as T
+
+
+def test_global_ordinal_matches_global_window(spark):
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 997).alias("k"),
+        ((F.col("id") * 40503) % 7919).cast("double").alias("v"),
+        F.col("id").alias("tie"),
+    ).repartition(16)
+    got = global_ordinal_id(df, ["k", "v", "tie"], "oid")
+    w = Window.orderBy("k", "v", "tie")
+    want = df.withColumn("oid2", F.row_number().over(w).cast("long") - 1)
+    j = got.join(want, on=["k", "v", "tie"])
+    assert j.where(F.col("oid") != F.col("oid2")).count() == 0
+    # dense 0..n-1
+    assert got.agg(F.min("oid"), F.max("oid"), F.countDistinct("oid")).first() == (
+        0, n - 1, n,
+    )
+
+
+def test_add_event_id_dense_and_canonical(spark):
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    df = spark.createDataFrame(
+        [("B", 0.0, 1.0), ("A", 5.0, 6.0), ("A", 0.0, 2.0), ("B", 0.0, 0.5)],
+        "route string, beg double, end double",
+    )
+    out = add_event_id(df, lrs)
+    # canonical order: A(0,2), A(5,6), B(0,0.5), B(0,1)
+    ordered = [
+        (r["route"], r["beg"], r["end"], r["event_id"])
+        for r in out.orderBy("event_id").collect()
+    ]
+    assert ordered == [
+        ("A", 0.0, 2.0, 0),
+        ("A", 5.0, 6.0, 1),
+        ("B", 0.0, 0.5, 2),
+        ("B", 0.0, 1.0, 3),
+    ]
+
+
+def test_consecutive_strings_distributed_parity(spark):
+    # chained runs across groups in collection order; expected run ids are
+    # the reference cumsum semantics (base.py:915-930)
+    rows = [
+        # (route, beg, end) in event_id order
+        ("A", 0.0, 1.0),
+        ("A", 1.0, 2.0),   # consecutive -> same run
+        ("A", 3.0, 4.0),   # gap -> new run
+        ("B", 4.0, 5.0),   # group change -> new run
+        ("B", 5.0, 6.0),   # consecutive
+        ("B", 7.0, 8.0),   # gap
+    ]
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    df = spark.createDataFrame(rows, "route string, beg double, end double")
+    df = add_event_id(df, lrs)
+    out = consecutive_strings(df, lrs, bucket_bits=1)  # force many buckets
+    got = [r["string_id"] for r in out.orderBy("event_id").collect()]
+    assert got == [0, 0, 1, 2, 2, 3]
+
+
+def test_dissolve_ids_dense_canonical(spark):
+    from linref_spark.events.modify import dissolve
+
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    df = spark.createDataFrame(
+        [("B", 0.0, 1.0), ("A", 1.0, 2.0), ("A", 0.0, 1.0), ("B", 5.0, 6.0)],
+        "route string, beg double, end double",
+    )
+    out = dissolve(add_event_id(df, lrs), lrs)
+    ordered = [
+        (r["route"], r["beg"], r["end"], r["event_id"])
+        for r in out.orderBy("event_id").collect()
+    ]
+    assert ordered == [
+        ("A", 0.0, 2.0, 0),
+        ("B", 0.0, 1.0, 1),
+        ("B", 5.0, 6.0, 2),
+    ]
+
+
+# --- supercover tile kernel ---------------------------------------------------
+
+
+def test_supercover_corner_clip_not_missed():
+    # at res 6 cell size is 64; a segment that clips the corner of cell
+    # (1,1) with a chord much shorter than half a cell must still list it
+    s = T.cell_size(6)
+    xs = np.array([s - 0.5, s + 0.5])
+    ys = np.array([s + 0.5, s - 0.5])  # cuts the (1,1)/(0,0) corner area
+    cells = set(T.polyline_cover_kernel(xs, ys, 6, buffer=0.0))
+    assert T.pack(0, 1, 6) in cells and T.pack(1, 0, 6) in cells
+
+
+def test_supercover_exact_corner_crossing_shares_tile():
+    # two diagonals crossing exactly AT a grid corner: each traverses only
+    # its own diagonal cells, but the corner-safety cells guarantee a
+    # shared candidate tile
+    s = T.cell_size(6)
+    a = T.polyline_cover_kernel(
+        np.array([s - 10, s + 10]), np.array([s - 10, s + 10]), 6, 0.0
+    )
+    b = T.polyline_cover_kernel(
+        np.array([s - 10, s + 10]), np.array([s + 10, s - 10]), 6, 0.0
+    )
+    assert set(a) & set(b)
+
+
+def test_supercover_matches_dense_sampling_superset():
+    # the exact cover must contain every cell dense sampling finds
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        xs = np.cumsum(rng.uniform(-300, 300, size=5))
+        ys = np.cumsum(rng.uniform(-300, 300, size=5))
+        cells = set(T.polyline_cover_kernel(xs, ys, 6, buffer=0.0))
+        s = T.cell_size(6)
+        for i in range(len(xs) - 1):
+            t = np.linspace(0, 1, 400)
+            px = xs[i] + t * (xs[i + 1] - xs[i])
+            py = ys[i] + t * (ys[i + 1] - ys[i])
+            for cx, cy in zip(
+                np.floor(px / s).astype(int), np.floor(py / s).astype(int)
+            ):
+                assert T.pack(int(cx), int(cy), 6) in cells
+
+
+def test_supercover_dilation():
+    s = T.cell_size(6)
+    base = set(T.polyline_cover_kernel(np.array([10.0, 20.0]), np.array([10.0, 10.0]), 6, 0.0))
+    dil = set(T.polyline_cover_kernel(np.array([10.0, 20.0]), np.array([10.0, 10.0]), 6, buffer=s + 1))
+    assert base < dil
+    # every base cell's 2-neighborhood is present
+    for c in base:
+        ix, iy, r = T.unpack(c)
+        for dx in (-2, 0, 2):
+            for dy in (-2, 0, 2):
+                assert T.pack(ix + dx, iy + dy, 6) in dil
+
+
+# --- collinear segment intersections ------------------------------------------
+
+
+def test_collinear_overlap_endpoints():
+    # two collinear horizontal segments overlapping on [2, 3]
+    pts = K.segment_intersections(
+        np.array([0.0, 3.0]), np.array([1.0, 1.0]),
+        np.array([2.0, 5.0]), np.array([1.0, 1.0]),
+    )
+    got = sorted(set((round(x, 9), round(y, 9)) for x, y in pts))
+    assert (2.0, 1.0) in got and (3.0, 1.0) in got
+
+
+def test_collinear_touching_single_point():
+    pts = K.segment_intersections(
+        np.array([0.0, 2.0]), np.array([0.0, 0.0]),
+        np.array([2.0, 4.0]), np.array([0.0, 0.0]),
+    )
+    got = set((round(x, 9), round(y, 9)) for x, y in pts)
+    assert got == {(2.0, 0.0)}
+
+
+def test_collinear_disjoint_no_points():
+    pts = K.segment_intersections(
+        np.array([0.0, 1.0]), np.array([0.0, 0.0]),
+        np.array([2.0, 3.0]), np.array([0.0, 0.0]),
+    )
+    assert pts == []
+
+
+def test_crossing_intersection_unchanged():
+    pts = K.segment_intersections(
+        np.array([0.0, 2.0]), np.array([0.0, 2.0]),
+        np.array([0.0, 2.0]), np.array([2.0, 0.0]),
+    )
+    got = set((round(x, 9), round(y, 9)) for x, y in pts)
+    assert got == {(1.0, 1.0)}
