@@ -4,26 +4,34 @@
   set — JVM-side ``F.zip_with``/``F.aggregate`` dot products against a
   broadcast query table, then a per-query ``row_number`` window. The
   baseline every ANN variant is measured against.
-- ``lsh_topk``: random-hyperplane (sign) LSH bucketing — queries only score
-  candidates sharing a hash bucket, the scale path when the corpus no
-  longer fits a broadcast-side comparison. Hyperplanes are deterministic
-  (seeded hash-based pseudo-random), so bucket assignment is reproducible
-  across runs and cluster sizes.
-- ``cosine_neardup_pairs``: all pairs above a cosine threshold via the same
-  LSH buckets (embedding near-duplicate detection).
+- ``lsh_topk`` / ``cosine_neardup_pairs``: random-hyperplane (sign) LSH
+  with BANDED candidate generation — the signature is split into bands and
+  two vectors are candidates when they agree on ANY band (OR-construction,
+  same design as minhash banding in :mod:`linref_spark.web.dedup`), which
+  avoids the single-bucket recall cliff of requiring all bits to agree.
+- Hyperplanes are deterministic (splitmix64-style integer mixing), so
+  bucket assignment is reproducible across runs and cluster sizes.
 
-Scale notes: brute force is O(corpus x queries) but embarrassingly
-parallel (one narrow broadcast join, no shuffle until the final top-k
-window, which partitions by query). LSH replaces the cross product with a
-bucket equi-join.
+Scale notes
+-----------
+Sign bits are computed in ONE Arrow-batched numpy matmul per batch
+(``signs = X @ P.T``): the planes matrix (n_planes x dim, float64) is
+captured in the UDF closure — a few hundred KB even at dim 4096 — so the
+plan contains no per-coordinate expression nodes and survives production
+embedding dimensions (768-4096) where an unrolled per-coordinate Catalyst
+expression tree would blow up codegen. Candidate generation is a
+(band, bucket) equi-join with a per-bucket size cap; brute force is
+O(corpus x queries) but embarrassingly parallel (one broadcast join, no
+shuffle until the final per-query top-k window).
 """
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -83,21 +91,64 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane from integer hashing
-    (splitmix64-style mix) — no RNG state, reproducible anywhere."""
-    vals = []
-    for j in range(dim):
-        x = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + seed) & (
-            2**64 - 1
-        )
-        x ^= x >> 30
-        x = (x * 0xBF58476D1CE4E5B9) & (2**64 - 1)
-        x ^= x >> 27
-        x = (x * 0x94D049BB133111EB) & (2**64 - 1)
-        x ^= x >> 31
-        vals.append((x / 2**64) * 2.0 - 1.0)
-    return vals
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """(n_planes, dim) deterministic pseudo-random hyperplanes in [-1, 1)
+    from splitmix64-style integer mixing — no RNG state, identical on any
+    engine/partitioning. Vectorized (uint64 wraparound arithmetic)."""
+    p = np.arange(n_planes, dtype=np.uint64)[:, None]
+    j = np.arange(dim, dtype=np.uint64)[None, :]
+    x = (
+        p * np.uint64(0x9E3779B97F4A7C15)
+        + j * np.uint64(0xBF58476D1CE4E5B9)
+        + np.uint64(seed)
+    )
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x / 2.0**64) * 2.0 - 1.0
+
+
+def make_lsh_bands_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+    """Arrow UDF: embedding -> array of ``bands`` bucket ids (long).
+
+    One numpy matmul per batch against the closure-captured planes matrix;
+    bucket b packs sign bits [b*rows, (b+1)*rows) little-endian. Vectors
+    shorter than ``dim`` are zero-padded, longer ones truncated (matching
+    the null-coalesce semantics of coordinate access).
+    """
+    n_planes = bands * rows_per_band
+    planes = _hyperplanes(dim, n_planes, seed)  # shipped in the task closure
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bands(v: pd.Series) -> pd.Series:
+        n = len(v)
+        X = np.zeros((n, dim), dtype=np.float64)
+        null = np.zeros(n, dtype=bool)
+        for i, row in enumerate(v):
+            if row is None:
+                null[i] = True
+                continue
+            a = np.asarray(row, dtype=np.float64)
+            m = min(len(a), dim)
+            X[i, :m] = a[:m]
+        bits = (X @ planes.T) >= 0
+        out = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            out[:, b] = bits[:, b * rows_per_band : (b + 1) * rows_per_band] @ weights
+        res = [None if null[i] else out[i] for i in range(n)]
+        return pd.Series(res)
+
+    return _bands
+
+
+def _default_bands(n_planes: int) -> int:
+    for b in (4, 3, 2, 1):
+        if n_planes % b == 0:
+            return b
+    return 1
 
 
 def with_lsh_bucket(
@@ -108,17 +159,30 @@ def with_lsh_bucket(
     seed: int = 42,
     out_col: str = "lsh_bucket",
 ) -> DataFrame:
-    """Sign-LSH bucket id (long) from n_planes deterministic hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p, seed)
-        dot = F.lit(0.0)
-        for j, w in enumerate(plane):
-            dot = dot + F.coalesce(F.get(v, j), F.lit(0.0)) * F.lit(w)
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
-    return df.withColumn(out_col, bucket)
+    """Single sign-LSH bucket id (long) packing all ``n_planes`` bits.
+
+    Computed by one batched matmul (no per-coordinate expressions). For
+    candidate generation prefer :func:`with_lsh_bands` — a single
+    all-bits-agree bucket has a recall cliff as dims/corpus grow.
+    """
+    udf = make_lsh_bands_udf(dim, 1, n_planes, seed)
+    return df.withColumn(out_col, F.element_at(udf(F.col(vec_col)), 1))
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Explode to one row per (lsh_band, lsh_bucket) — the OR-construction
+    candidate key. Join on BOTH columns."""
+    udf = make_lsh_bands_udf(dim, bands, rows_per_band, seed)
+    return df.select(
+        "*", F.posexplode(udf(F.col(vec_col))).alias("lsh_band", "lsh_bucket")
+    )
 
 
 def lsh_topk(
@@ -126,23 +190,42 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
-    cb = with_lsh_bucket(corpus, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        "lsh_bucket",
+    """Approximate top-k: score candidates sharing ANY signature band.
+
+    ``n_planes`` total sign bits split into ``bands`` bands (default: the
+    largest of 4/3/2/1 dividing n_planes). Recall grows with bands (more
+    independent chances to collide) and falls with rows_per_band (stricter
+    agreement per chance) — the same dial as minhash LSH banding.
+    """
+    if bands is None:
+        bands = _default_bands(n_planes)
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    rows = n_planes // bands
+    cb = with_lsh_bands(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ),
+        dim, bands, rows, "_cv", seed,
     )
-    qb = with_lsh_bucket(queries, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"), "lsh_bucket"
+    qb = with_lsh_bands(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+        ),
+        dim, bands, rows, "_qv", seed,
     )
-    cand = cb.join(F.broadcast(qb), on="lsh_bucket").where(
-        F.col("neighbor_id") != F.col(query_id_col)
+    cand = (
+        cb.join(F.broadcast(qb), on=["lsh_band", "lsh_bucket"])
+        .where(F.col("neighbor_id") != F.col(query_id_col))
+        # a pair can collide in several bands — score it once
+        .dropDuplicates([query_id_col, "neighbor_id"])
     )
     cand = cand.withColumn(
         "cos",
@@ -165,29 +248,43 @@ def cosine_neardup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_planes: int = 16,
+    bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 2000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (a < b, cos >= threshold) via
-    LSH-bucketed self-join (bucket size capped)."""
-    b = with_lsh_bucket(df, dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    """Embedding near-duplicate pairs (a < b, cos >= threshold) via a banded
+    LSH self-join. Buckets larger than ``max_bucket`` per (band, bucket) are
+    dropped (use :func:`lsh_bucket_metrics` with the same parameters to
+    audit how much was dropped — the cap trades recall on degenerate
+    boilerplate floods for a bounded join)."""
+    if bands is None:
+        bands = _default_bands(n_planes)
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    rows = n_planes // bands
+    b = with_lsh_bands(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, bands, rows, "_v", seed,
     )
-    sizes = b.groupBy("lsh_bucket").agg(F.count("*").alias("_n"))
+    sizes = b.groupBy("lsh_band", "lsh_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
-    pruned = b.join(F.broadcast(ok), on="lsh_bucket", how="inner")
+    pruned = b.join(F.broadcast(ok), on=["lsh_band", "lsh_bucket"], how="inner")
     pairs = (
-        pruned.select("lsh_bucket", F.col("_id").alias("a"), F.col("_v").alias("_va"))
+        pruned.select(
+            "lsh_band", "lsh_bucket", F.col("_id").alias("a"), F.col("_v").alias("_va")
+        )
         .join(
             pruned.select(
-                "lsh_bucket", F.col("_id").alias("b"), F.col("_v").alias("_vb")
+                "lsh_band", "lsh_bucket", F.col("_id").alias("b"),
+                F.col("_v").alias("_vb"),
             ),
-            on="lsh_bucket",
+            on=["lsh_band", "lsh_bucket"],
         )
         .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
     )
     pairs = pairs.withColumn(
         "cos",
@@ -196,4 +293,34 @@ def cosine_neardup_pairs(
             F.transform(F.col("_vb"), lambda v: v.cast("double")),
         ),
     )
-    return pairs.where(F.col("cos") >= threshold).select("a", "b", "cos").distinct()
+    return pairs.where(F.col("cos") >= threshold).select("a", "b", "cos")
+
+
+def lsh_bucket_metrics(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Audit companion to :func:`cosine_neardup_pairs`: per band, how many
+    buckets/rows the ``max_bucket`` cap drops. Columns:
+    (lsh_band, n_buckets, n_dropped_buckets, n_dropped_rows)."""
+    if bands is None:
+        bands = _default_bands(n_planes)
+    rows = n_planes // bands
+    b = with_lsh_bands(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        dim, bands, rows, "_v", seed,
+    )
+    sizes = b.groupBy("lsh_band", "lsh_bucket").agg(F.count("*").alias("_n"))
+    return sizes.groupBy("lsh_band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("_n") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_dropped_rows"),
+    )

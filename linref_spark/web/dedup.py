@@ -14,7 +14,11 @@ Each dedup family is a pure DataFrame transform over (doc_id, text):
 Scale notes: every stage is explode -> groupBy/join on a hash key — the
 classic shuffle-bound pipeline. Band buckets bound candidate-pair fan-out;
 a `max_bucket` guard drops degenerate buckets (all-identical boilerplate)
-the way production CC pipelines do, and logs what was dropped.
+the way production CC pipelines do. The caps make results APPROXIMATE on
+degenerate content: recall loss is auditable via the companion
+``*_drop_metrics`` functions (pairs functions stay pure transforms; the
+metrics run the same bucket/posting aggregation and report what the cap
+would drop).
 
 Hashing uses xxhash64 (Spark built-in, seedable, 64-bit) for minhash and
 simhash — deterministic across runs/partitions; md5 where cross-engine
@@ -92,22 +96,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_buckets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
-    max_bucket: int = 1000,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
-
-    rows = num_hashes / bands per band; docs agreeing on any full band
-    bucket together. Buckets larger than ``max_bucket`` are dropped (guard
-    against boilerplate floods); at 100 TB this guard is what keeps the
-    bucket self-join from going quadratic on degenerate content.
-    """
+    """(_id, _band, _bucket) rows: one per doc per band."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -126,9 +123,59 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = sig.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("_b"))
-    buckets = buckets.select(
+    return buckets.select(
         "_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket")
     )
+
+
+def bucket_drop_metrics(
+    buckets: DataFrame, max_bucket: int, band_col: str = "_band",
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Per-band audit of a bucket cap: (band, n_buckets, n_dropped_buckets,
+    n_dropped_rows). Shared by the minhash and simhash metrics."""
+    sizes = buckets.groupBy(band_col, bucket_col).agg(F.count("*").alias("_n"))
+    return sizes.groupBy(band_col).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("_n") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.sum(
+            F.when(F.col("_n") > max_bucket, F.col("_n")).otherwise(F.lit(0))
+        ).alias("n_dropped_rows"),
+    ).withColumnRenamed(band_col, "band")
+
+
+def minhash_drop_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """What :func:`minhash_lsh_pairs` drops under the same parameters."""
+    b = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return bucket_drop_metrics(b, max_bucket)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
+
+    rows = num_hashes / bands per band; docs agreeing on any full band
+    bucket together. Buckets larger than ``max_bucket`` are dropped (guard
+    against boilerplate floods); at 100 TB this guard is what keeps the
+    bucket self-join from going quadratic on degenerate content. Audit the
+    recall cost with :func:`minhash_drop_metrics` (same parameters).
+    """
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
@@ -146,11 +193,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_posting: int = 2000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (a, b, jaccard >= t).
+    """N-gram Jaccard similarity join: pairs (a, b, jaccard >= t).
 
     Inverted-index pattern: explode distinct shingles, self-join on shingle
     (posting lists capped at ``max_posting``), count shared shingles per
     pair, then jaccard = shared / (|A| + |B| - shared).
+
+    EXACT up to the posting cap: shingles appearing in more than
+    ``max_posting`` docs are excluded from the intersection count (but
+    still count toward |A|/|B|), so jaccard is *underestimated* for pairs
+    sharing very popular shingles. Audit the number of capped shingles and
+    affected rows with :func:`ngram_posting_drop_metrics`.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_k)).alias("_sh")
@@ -170,6 +223,10 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("_id").alias("a"), F.col("_sz").alias("_sa"))
     sb = sizes.select(F.col("_id").alias("b"), F.col("_sz").alias("_sb"))
+    # NOTE: capped shingles were removed from sh2 (intersection counts) but
+    # remain in sizes (|A|, |B|) — jaccard is a lower bound for docs
+    # containing >max_posting-popular shingles; ngram_posting_drop_metrics
+    # reports the capped shingle count
     out = (
         pairs.join(sa, on="a").join(sb, on="b")
         .withColumn(
@@ -181,6 +238,29 @@ def ngram_jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def ngram_posting_drop_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_posting: int = 2000,
+) -> DataFrame:
+    """What :func:`ngram_jaccard_pairs` excludes under the same posting cap:
+    one row — (n_shingles, n_capped_shingles, n_capped_postings)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
+    )
+    posting_sz = sh.groupBy("_sh").agg(F.count("*").alias("_p"))
+    return posting_sz.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("_p") > max_posting).cast("long")).alias("n_capped_shingles"),
+        F.sum(
+            F.when(F.col("_p") > max_posting, F.col("_p")).otherwise(F.lit(0))
+        ).alias("n_capped_postings"),
+    )
 
 
 def simhash(
@@ -211,12 +291,7 @@ def simhash(
     return votes.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
-def simhash_band_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit simhash band (catches all
-    pairs with hamming distance <= 3 by pigeonhole)."""
+def _simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sh = simhash(df, text_col, id_col)
     band_arr = F.array(
         *[
@@ -230,9 +305,27 @@ def simhash_band_pairs(
         ]
     )
     buckets = sh.select(F.col(id_col).alias("_id"), F.explode(band_arr).alias("_b"))
-    buckets = buckets.select(
+    return buckets.select(
         "_id", F.col("_b.band").alias("_band"), F.col("_b.bucket").alias("_bucket")
     )
+
+
+def simhash_drop_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """What :func:`simhash_band_pairs` drops under the same cap."""
+    return bucket_drop_metrics(_simhash_buckets(df, text_col, id_col), max_bucket)
+
+
+def simhash_band_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit simhash band (catches all
+    pairs with hamming distance <= 3 by pigeonhole). Buckets above
+    ``max_bucket`` are dropped — audit with :func:`simhash_drop_metrics`."""
+    buckets = _simhash_buckets(df, text_col, id_col)
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
