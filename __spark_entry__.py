@@ -377,6 +377,20 @@ def q_docs_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_seg_split(spark, sf_dir):
+    """split_at_locs — the interval-algebra core of the composed split
+    accessor (linref/ext/base.py:2091-2213): segments split at point locs."""
+    from linref_spark.events.constrain import split_at_locs
+
+    seg = _seg(spark, sf_dir, 1)
+    pts = _pts(spark, sf_dir)
+    out = split_at_locs(seg, pts, SEG_LRS, PTS_LRS, inverse_col="split_index")
+    return out.select(
+        "route", "beg", "end",
+        F.col("split_index").cast("long").alias("split_index"),
+    )
+
+
 def q_spatial_snap(spark, sf_dir):
     """kNN nearest-route snapping with an exact SQL oracle: single-segment
     routes derived from nation, points from customer — the point-to-segment
@@ -448,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_constrain": q_seg_constrain,
         "seg_next_overlapping": q_seg_next_overlapping,
         "seg_profile_sum": q_seg_profile_sum,
+        "seg_split": q_seg_split,
         "point_tiles": q_point_tiles,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "spatial_snap": q_spatial_snap,
@@ -700,6 +715,24 @@ runs2 AS (
 SELECT route, min(beg) AS beg, max("end") AS "end",
        rid AS constrained_index
 FROM runs2 GROUP BY route, rid, run
+""",
+        "seg_split": f"""
+WITH {_SEG_SQL}, {_PTS_SQL},
+segr AS (
+  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val) - 1 AS rid FROM seg
+),
+edges AS (
+  SELECT route, beg AS e FROM seg UNION SELECT route, "end" FROM seg
+  UNION SELECT route, loc FROM pts
+),
+iv AS (
+  SELECT route, e AS beg, lead(e) OVER (PARTITION BY route ORDER BY e) AS "end"
+  FROM edges
+),
+iv2 AS (SELECT * FROM iv WHERE "end" IS NOT NULL)
+SELECT DISTINCT i.route, i.beg, i."end", s.rid AS split_index
+FROM iv2 i JOIN segr s
+  ON s.route = i.route AND i."end" > s.beg AND i.beg < s."end"
 """,
         "seg_next_overlapping": f"""
 WITH {_SEG_SQL}
