@@ -26,9 +26,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from linref_spark.geometry import kernels as K
+from linref_spark.geometry.udfs import udf_snap_by_geom
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.spatial.tiles import point_tile, with_polyline_tiles
 
@@ -44,30 +45,51 @@ MATCH_TYPE = StructType(
 def _make_match_udf(densify):
     @F.pandas_udf(MATCH_TYPE)
     def udf_match(
+        tid: pd.Series,
         txs: pd.Series, tys: pd.Series, tms: pd.Series,
         pxs: pd.Series, pys: pd.Series,
     ) -> pd.DataFrame:
-        n = len(txs)
+        """Batched per TARGET geometry (the trick udf_snap_by_geom uses for
+        snapping): all candidate endpoints of one target project in a single
+        (2P x S) vectorized pass; only substring+hausdorff remain per pair
+        (each internally vectorized over vertices)."""
+        n = len(tid)
         hd = np.full(n, np.nan)
         beg = np.full(n, np.nan)
         end = np.full(n, np.nan)
-        for i in range(n):
-            if txs.iloc[i] is None or pxs.iloc[i] is None:
+        groups: dict = {}
+        for i, k in enumerate(tid):
+            groups.setdefault(k, []).append(i)
+        for idx in groups.values():
+            f = idx[0]
+            if txs.iloc[f] is None:
                 continue
-            tx = np.asarray(txs.iloc[i], dtype=np.float64)
-            ty = np.asarray(tys.iloc[i], dtype=np.float64)
-            tm = np.asarray(tms.iloc[i], dtype=np.float64)
-            px = np.asarray(pxs.iloc[i], dtype=np.float64)
-            py = np.asarray(pys.iloc[i], dtype=np.float64)
-            # project endpoints onto the target -> distances along
-            d0 = K.locate_point(tx, ty, px[0], py[0])
-            d1 = K.locate_point(tx, ty, px[-1], py[-1])
-            lo, hi = (d0, d1) if d0 <= d1 else (d1, d0)
-            # score against the target substring between the projections
-            sx, sy, sm = K.substring(tx, ty, tm, lo, hi)
-            hd[i] = K.hausdorff_distance(sx, sy, px, py, densify=densify)
-            m = K.distance_to_m(tx, ty, tm, np.array([lo, hi]))
-            beg[i], end[i] = m[0], m[1]
+            tx = np.asarray(txs.iloc[f], dtype=np.float64)
+            ty = np.asarray(tys.iloc[f], dtype=np.float64)
+            tm = np.asarray(tms.iloc[f], dtype=np.float64)
+            valid, ex, ey = [], [], []
+            for i in idx:
+                if pxs.iloc[i] is None:
+                    continue
+                px = np.asarray(pxs.iloc[i], dtype=np.float64)
+                py = np.asarray(pys.iloc[i], dtype=np.float64)
+                ex.extend((px[0], px[-1]))
+                ey.extend((py[0], py[-1]))
+                valid.append((i, px, py))
+            if not valid:
+                continue
+            # one vectorized endpoint projection for the whole target group
+            along = K.snap_points_batch(
+                tx, ty, None, np.asarray(ex), np.asarray(ey)
+            )[1]
+            for j, (i, px, py) in enumerate(valid):
+                d0, d1 = along[2 * j], along[2 * j + 1]
+                lo, hi = (d0, d1) if d0 <= d1 else (d1, d0)
+                # score against the target substring between the projections
+                sx, sy, _ = K.substring(tx, ty, tm, lo, hi)
+                hd[i] = K.hausdorff_distance(sx, sy, px, py, densify=densify)
+                m = K.distance_to_m(tx, ty, tm, np.array([lo, hi]))
+                beg[i], end[i] = m[0], m[1]
         return pd.DataFrame({"hausdorff": hd, "beg_m": beg, "end_m": end})
 
     return udf_match
@@ -84,6 +106,7 @@ def match_lines_hausdorff(
     res: int = 6,
     geom_col: str = "geom_m",
     proj_geom_col: str = "geom_m",
+    batch_cluster: bool = True,
 ) -> DataFrame:
     """Returns projected rows matched to targets with columns:
     target keys, ``beg_m``, ``end_m``, ``hausdorff``, ``match_rank``.
@@ -147,10 +170,15 @@ def match_lines_hausdorff(
         .drop("_ne")
     )
 
+    if batch_cluster:
+        # co-locate candidates of one target inside Arrow batches so the
+        # fused UDF projects all of a target's endpoints in one pass
+        cand = cand.repartition(F.col("_tid")).sortWithinPartitions("_tid")
     udf_match = _make_match_udf(densify)
     tg, pgc = F.col("_tg"), F.col("_pg")
     scored = cand.withColumn(
-        "_m", udf_match(tg["xs"], tg["ys"], tg["ms"], pgc["xs"], pgc["ys"])
+        "_m",
+        udf_match(F.col("_tid"), tg["xs"], tg["ys"], tg["ms"], pgc["xs"], pgc["ys"]),
     ).select(
         "_pid", "_tid", *keys,
         F.col("_m.hausdorff").alias("hausdorff"),
@@ -166,4 +194,146 @@ def match_lines_hausdorff(
         scored = scored.where(F.col("match_rank") <= match)
     return projected.join(
         scored.drop("_tid"), on=F.col(EVENT_ID) == F.col("_pid"), how="inner"
+    ).drop("_pid")
+
+
+SAMPLES_TYPE = ArrayType(
+    StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+)
+
+
+def _make_samples_udf(samples: int):
+    fracs = np.linspace(0.0, 1.0, samples)
+
+    @F.pandas_udf(SAMPLES_TYPE)
+    def _samples(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            if x is None:
+                out.append(None)
+                continue
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            cd = K.cumdist(x, y)
+            d = fracs * cd[-1]
+            px = np.interp(d, cd, x)
+            py = np.interp(d, cd, y)
+            out.append([{"x": float(a), "y": float(b)} for a, b in zip(px, py)])
+        return pd.Series(out)
+
+    return _samples
+
+
+def parallel_project_samples(
+    target: DataFrame,
+    projected: DataFrame,
+    target_lrs: LRS,
+    buffer: float,
+    samples: int = 3,
+    match: int | str = "all",
+    choose: int | str = 1,
+    res: int = 6,
+    geom_col: str = "geom_m",
+    proj_geom_col: str = "geom_m",
+) -> DataFrame:
+    """Sample-point line matcher — ``ParallelProjector``
+    (``/root/reference/linref/ext/spatial.py:276-559``), re-architected:
+
+    1. ``samples`` evenly-spaced points (linspace over arc length, endpoints
+       included) along each projected geometry;
+    2. candidate (projector, target) pairs: sample point within ``buffer``
+       of the target geometry — a point-tile x buffered-target-cover
+       equi-join refined by the exact fused snap kernel (the reference's
+       buffered sjoin);
+    3. pairs hit by >= ``match`` samples ('all' = every sample) score by
+       MEAN sample distance; per projector keep the ``choose`` best
+       ('all' = every match), deterministic tie-break by target keys;
+    4. the projector's endpoints project onto the chosen target for
+       ``beg_m``/``end_m`` (sorted — the reference's sort_locs=True).
+
+    Output: projected rows + target keys + beg_m/end_m + n_hits +
+    mean_dist + match_rank.
+    """
+    if isinstance(match, str):
+        if match != "all":
+            raise ValueError("match must be 'all' or an integer <= samples")
+        match_n = samples
+    else:
+        match_n = int(match)
+    if isinstance(choose, str) and choose != "all":
+        raise ValueError("choose must be 'all' or an integer >= 1")
+    if isinstance(choose, int) and choose < 1:
+        raise ValueError("Integer choose parameter must be >= 1")
+    if EVENT_ID not in projected.columns:
+        raise ValueError("projected frame needs an event_id column")
+    keys = list(target_lrs.key_cols)
+
+    if EVENT_ID in target.columns:
+        tsel = target.select(
+            F.col(EVENT_ID).alias("_tid"), *keys, F.col(geom_col).alias("_tg")
+        )
+    else:
+        tsel = target.select(
+            F.xxhash64(*keys, F.col(f"{geom_col}.ms")).alias("_tid"),
+            *keys,
+            F.col(geom_col).alias("_tg"),
+        )
+    tt = with_polyline_tiles(
+        tsel.withColumnRenamed("_tg", geom_col), geom_col, res=res, buffer=buffer
+    ).withColumnRenamed(geom_col, "_tg")
+
+    pg = F.col(proj_geom_col)
+    samples_udf = _make_samples_udf(samples)
+    sp = projected.select(
+        F.col(EVENT_ID).alias("_pid"),
+        F.posexplode(samples_udf(pg["xs"], pg["ys"])).alias("_sidx", "_s"),
+    ).select(
+        "_pid", "_sidx",
+        F.col("_s.x").alias("_sx"), F.col("_s.y").alias("_sy"),
+        point_tile(F.col("_s.x"), F.col("_s.y"), res).alias("tile_id"),
+    )
+
+    hits = sp.join(tt, on="tile_id").drop("tile_id")
+    tg = F.col("_tg")
+    snap = udf_snap_by_geom(
+        F.col("_tid"), tg["xs"], tg["ys"], tg["ms"], F.col("_sx"), F.col("_sy")
+    )
+    hits = hits.withColumn("_d", snap["dist"]).where(F.col("_d") <= buffer)
+
+    pair = hits.groupBy("_pid", "_tid").agg(
+        F.countDistinct("_sidx").alias("n_hits"),
+        F.avg("_d").alias("mean_dist"),
+        *[F.first(k).alias(k) for k in keys],
+    ).where(F.col("n_hits") >= match_n)
+
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("mean_dist").asc(), *[F.col(k).asc() for k in keys], F.col("_tid")
+    )
+    pair = pair.withColumn("match_rank", F.row_number().over(w))
+    if choose != "all":
+        pair = pair.where(F.col("match_rank") <= int(choose))
+
+    # endpoint M recovery on the chosen target (batched per target geometry)
+    chosen = (
+        pair.join(tsel.select("_tid", "_tg"), on="_tid")
+        .join(
+            projected.select(
+                F.col(EVENT_ID).alias("_pid2"), F.col(proj_geom_col).alias("_pg")
+            ),
+            on=F.col("_pid") == F.col("_pid2"),
+        )
+        .drop("_pid2")
+    )
+    bounds = _make_match_udf(None)
+    tgc, pgc = F.col("_tg"), F.col("_pg")
+    chosen = chosen.withColumn(
+        "_m",
+        bounds(F.col("_tid"), tgc["xs"], tgc["ys"], tgc["ms"], pgc["xs"], pgc["ys"]),
+    ).select(
+        "_pid", *keys, "n_hits", "mean_dist", "match_rank",
+        F.col("_m.beg_m").alias("beg_m"),
+        F.col("_m.end_m").alias("end_m"),
+    )
+    return projected.join(
+        chosen, on=F.col(EVENT_ID) == F.col("_pid"), how="inner"
     ).drop("_pid")

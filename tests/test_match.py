@@ -78,3 +78,75 @@ def test_match_lines_max_distance_filters(spark, network):
     rows = {r.route: r for r in both.collect()}
     assert rows["A"].match_rank == 1 and rows["A"].hausdorff == pytest.approx(2.0)
     assert rows["B"].match_rank == 2 and rows["B"].hausdorff == pytest.approx(3.0)
+
+
+# --- ParallelProjector sample-point variant (ext/spatial.py:276-559) ----------
+
+
+def test_parallel_project_samples_basic(spark, network):
+    from linref_spark.spatial.match import parallel_project_samples
+
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [0.2, 0.2], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    out = parallel_project_samples(network, proj, TLRS, buffer=1.0, samples=3)
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.route == "A" and r.n_hits == 3
+    assert r.mean_dist == pytest.approx(0.2)
+    assert r.beg_m == pytest.approx(2.0) and r.end_m == pytest.approx(8.0)
+
+
+def test_parallel_project_samples_match_threshold(spark, network):
+    from linref_spark.spatial.match import parallel_project_samples
+
+    # line angles away from A: only its first samples are within buffer
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [0.1, 4.0], "ms": [0.0, 7.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    strict = parallel_project_samples(
+        network, proj, TLRS, buffer=1.0, samples=3, match="all"
+    )
+    assert strict.count() == 0
+    loose = parallel_project_samples(
+        network, proj, TLRS, buffer=1.0, samples=3, match=1
+    )
+    assert {r.route for r in loose.collect()} == {"A"}
+
+
+def test_parallel_project_samples_choose_all(spark, network):
+    from linref_spark.spatial.match import parallel_project_samples
+
+    # midway line within buffer of both routes; choose='all' keeps both,
+    # choose=1 keeps the nearer (A)
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [2.0, 2.0], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    both = parallel_project_samples(
+        network, proj, TLRS, buffer=3.5, samples=3, choose="all"
+    )
+    rows = {r.route: r for r in both.collect()}
+    assert set(rows) == {"A", "B"}
+    assert rows["A"].match_rank == 1 and rows["A"].mean_dist == pytest.approx(2.0)
+    assert rows["B"].match_rank == 2 and rows["B"].mean_dist == pytest.approx(3.0)
+    one = parallel_project_samples(
+        network, proj, TLRS, buffer=3.5, samples=3, choose=1
+    )
+    assert [r.route for r in one.collect()] == ["A"]
+
+
+def test_parallel_project_samples_validation(spark, network):
+    from linref_spark.spatial.match import parallel_project_samples
+
+    proj = spark.createDataFrame(
+        [(0, {"xs": [2.0, 8.0], "ys": [0.2, 0.2], "ms": [0.0, 6.0]})],
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    with pytest.raises(ValueError):
+        parallel_project_samples(network, proj, TLRS, 1.0, match="some")
+    with pytest.raises(ValueError):
+        parallel_project_samples(network, proj, TLRS, 1.0, choose=0)
