@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from linref_spark.events.analyze import find_inside, find_same
 from linref_spark.events.frame import centers_col, global_ordinal_id, lengths_col
-from linref_spark.lrs import EVENT_ID, LRS
+from linref_spark.lrs import EVENT_ID, LRS, apply_geometry_sync
 
 SEGMENT_FILL_ALL = {"none", "cut", "left", "right", "extend", "balance"}
 SOURCE_ID = "source_event_id"
@@ -295,10 +295,13 @@ def concatenate(frames: Sequence[DataFrame]) -> DataFrame:
 
 
 def extend(
-    df: DataFrame, lrs: LRS, begin_by: float = 0.0, end_by: Optional[float] = None
+    df: DataFrame, lrs: LRS, begin_by: float = 0.0, end_by: Optional[float] = None,
+    geometry_sync: Optional[str] = None,
 ) -> DataFrame:
     """Extend ranges outward (``modify.py:182-225``); point events become
-    linear ``loc +/- d``."""
+    linear ``loc +/- d``. Measure edit: geometry-sync guard applies
+    (``ext/base.py:1479`` decorates this with _method_deprecates_geometry)."""
+    df = apply_geometry_sync(df, lrs, "extend", geometry_sync)
     if end_by is None:
         end_by = begin_by
     if lrs.is_point:
@@ -310,9 +313,13 @@ def extend(
     )
 
 
-def shift(df: DataFrame, lrs: LRS, distance: float) -> DataFrame:
-    """Shift all measures (``modify.py:227-258``)."""
-    out = df
+def shift(
+    df: DataFrame, lrs: LRS, distance: float,
+    geometry_sync: Optional[str] = None,
+) -> DataFrame:
+    """Shift all measures (``modify.py:227-258``); geometry-sync guard
+    applies (``ext/base.py:1521``)."""
+    out = apply_geometry_sync(df, lrs, "shift", geometry_sync)
     if lrs.is_located:
         out = out.withColumn(lrs.loc_col, F.col(lrs.loc_col) + distance)
     if lrs.is_linear:
@@ -326,9 +333,12 @@ def round_measures(
     lrs: LRS,
     decimals: Optional[int] = None,
     factor: Optional[float] = None,
+    geometry_sync: Optional[str] = None,
 ) -> DataFrame:
     """Round measures to decimals or to the nearest multiple of ``factor``
-    (``modify.py:260-304``)."""
+    (``modify.py:260-304``); geometry-sync guard applies
+    (``ext/base.py:1553``)."""
+    df = apply_geometry_sync(df, lrs, "round", geometry_sync)
     if decimals is not None:
         rounder = lambda c: F.round(c, decimals)  # noqa: E731
     elif factor is not None:

@@ -47,6 +47,56 @@ DEFAULT_CLOSED = "right"
 
 EVENT_ID = "event_id"
 
+GEOMETRY_SYNC_ALL = frozenset({"none", "ignore", "warn", "error", "drop"})
+DEFAULT_GEOMETRY_SYNC = "drop"  # linref/options.py:50
+
+
+class GeometrySyncError(RuntimeError):
+    """A measure-editing operator would de-synchronize the geometry column
+    (``linref/errors.py`` analogue)."""
+
+
+class GeometrySyncWarning(UserWarning):
+    """A measure-editing operator may de-synchronize the geometry column."""
+
+
+def apply_geometry_sync(
+    df: DataFrame, lrs: "LRS", method_name: str, geometry_sync: Optional[str] = None
+) -> DataFrame:
+    """{none,warn,error,drop} handling when an operator edits measures
+    without re-cutting geometry — ``_method_deprecates_geometry``
+    (``/root/reference/linref/ext/validation.py:9-49``). No-op on
+    non-spatial frames. ``geometry_sync`` overrides ``lrs.geometry_sync``
+    per call, like the reference's kwarg pop."""
+    mode = geometry_sync if geometry_sync is not None else lrs.geometry_sync
+    if mode not in GEOMETRY_SYNC_ALL:
+        raise ValueError(
+            f"Invalid geometry_sync {mode!r}; must be one of "
+            f"{sorted(GEOMETRY_SYNC_ALL)}."
+        )
+    col = lrs.geom_m_col
+    if col is None or col not in df.columns:
+        return df
+    if mode == "error":
+        raise GeometrySyncError(
+            f"The `{method_name}` operator may de-synchronize the geometry "
+            f"column {col!r} with event measures. Set geometry_sync to "
+            "'warn', 'none', or 'drop' to proceed."
+        )
+    if mode == "warn":
+        import warnings
+
+        warnings.warn(
+            f"The `{method_name}` operator may de-synchronize the geometry "
+            f"column {col!r} with event measures.",
+            GeometrySyncWarning,
+            stacklevel=3,
+        )
+        return df
+    if mode in ("none", "ignore"):
+        return df
+    return df.drop(col)
+
 
 def closed_base(closed: str) -> str:
     """Strip the ``_mod`` suffix: ``left_mod -> left``, ``right_mod -> right``.
@@ -88,9 +138,17 @@ class LRS:
     end_col: Optional[str] = None
     geom_m_col: Optional[str] = None
     closed: str = DEFAULT_CLOSED
+    # behavior when a measure edit would de-sync geom_m_col (linref
+    # options.default_geometry_sync): none | warn | error | drop
+    geometry_sync: str = DEFAULT_GEOMETRY_SYNC
 
     def __post_init__(self):
         validate_closed(self.closed)
+        if self.geometry_sync not in GEOMETRY_SYNC_ALL:
+            raise ValueError(
+                f"Invalid geometry_sync {self.geometry_sync!r}; must be one "
+                f"of {sorted(GEOMETRY_SYNC_ALL)}."
+            )
         object.__setattr__(self, "key_cols", tuple(self.key_cols))
         if self.is_linear and (self.beg_col is None or self.end_col is None):
             raise ValueError("beg_col and end_col must be set together.")

@@ -2,12 +2,14 @@
 
 The north rule requires every stage to write snapshot checkpoints with
 per-partition lineage + metrics so a 10^12-document run resumes instead of
-recomputing. This module implements that contract over parquet + a JSON
-manifest — the sandbox stand-in for Iceberg: a stage's committed output
-directory corresponds to an Iceberg snapshot; the manifest rows correspond
-to snapshot metadata (swap ``_write``/``_read`` for
-``writeTo(...).createOrReplace()`` / ``spark.read.table`` and record
-``snapshot_id`` instead of the fingerprint to run on a real catalog).
+recomputing. Storage is a pluggable provider (``Pipeline(format=...)``):
+
+- ``parquet`` (default, always available): atomic-rename directories + a
+  JSON manifest — the sandbox stand-in for a table catalog;
+- ``iceberg``: ``writeTo(...).createOrReplace()`` against a configured
+  Iceberg catalog (a config swap, not a code change — this container has
+  no Iceberg jars, so the provider raises a clear error unless
+  ``spark.sql.catalog.<name>`` is configured; tests skip accordingly).
 
 Semantics:
 
@@ -68,10 +70,100 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+class ParquetProvider:
+    """Atomic-rename parquet directories under ``base_dir``."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return os.path.exists(self._dir(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._dir(name))
+
+    def write(self, spark: SparkSession, name: str, df: DataFrame, fp: str) -> None:
+        out_dir = self._dir(name)
+        tmp_dir = f"{out_dir}.tmp-{fp}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        df.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp_dir, out_dir)
+
+    def bytes_written(self, spark: SparkSession, name: str) -> int:
+        return _dir_bytes(self._dir(name))
+
+
+class IcebergProvider:
+    """Iceberg-table checkpoints: one table per stage in a configured
+    catalog. Commit atomicity and snapshot history come from Iceberg
+    itself; the JSON manifest still carries the fingerprints and metrics.
+    Requires the Iceberg runtime jars + ``spark.sql.catalog.<catalog>``
+    to be configured on the session."""
+
+    def __init__(self, catalog: str = "local", namespace: str = "linref_ckpt"):
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def _require(self, spark: SparkSession) -> None:
+        if spark.conf.get(f"spark.sql.catalog.{self.catalog}", None) is None:
+            raise RuntimeError(
+                f"Iceberg catalog '{self.catalog}' is not configured "
+                f"(spark.sql.catalog.{self.catalog}). Add the Iceberg "
+                "runtime jar and catalog config, or use format='parquet'."
+            )
+
+    def _table(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        self._require(spark)
+        return spark.catalog.tableExists(self._table(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        self._require(spark)
+        return spark.read.table(self._table(name))
+
+    def write(self, spark: SparkSession, name: str, df: DataFrame, fp: str) -> None:
+        self._require(spark)
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+        )
+        df.writeTo(self._table(name)).using("iceberg").createOrReplace()
+
+    def bytes_written(self, spark: SparkSession, name: str) -> int:
+        self._require(spark)
+        row = spark.sql(
+            f"SELECT sum(file_size_in_bytes) AS b FROM {self._table(name)}.files"
+        ).first()
+        return int(row["b"] or 0)
+
+
+def make_provider(fmt: str, base_dir: str, **kwargs):
+    if fmt == "parquet":
+        return ParquetProvider(base_dir)
+    if fmt == "iceberg":
+        return IcebergProvider(**kwargs)
+    raise ValueError(f"Unknown checkpoint format: {fmt!r}")
+
+
 class Pipeline:
-    def __init__(self, base_dir: str, stages: Sequence[Stage]):
+    def __init__(
+        self,
+        base_dir: str,
+        stages: Sequence[Stage],
+        format: str = "parquet",
+        provider=None,
+        **provider_kwargs,
+    ):
         self.base_dir = base_dir
         self.stages = list(stages)
+        self.provider = provider or make_provider(format, base_dir, **provider_kwargs)
         names = [s.name for s in stages]
         if len(set(names)) != len(names):
             raise ValueError("Stage names must be unique")
@@ -93,9 +185,6 @@ class Pipeline:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, self._manifest_path())
-
-    def _stage_dir(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
 
     def _fingerprint(self, stage: Stage, input_fps: Dict[str, str]) -> str:
         payload = json.dumps(
@@ -122,31 +211,24 @@ class Pipeline:
             fp = self._fingerprint(stage, input_fps)
             fps[stage.name] = fp
             entry = manifest["stages"].get(stage.name)
-            out_dir = self._stage_dir(stage.name)
             if (
                 not force
                 and entry
                 and entry.get("fingerprint") == fp
                 and entry.get("committed")
-                and os.path.exists(out_dir)
+                and self.provider.exists(spark, stage.name)
             ):
                 if log:
                     log(f"[pipeline] {stage.name}: resume from checkpoint ({fp})")
-                outputs[stage.name] = spark.read.parquet(out_dir)
+                outputs[stage.name] = self.provider.read(spark, stage.name)
                 continue
 
             t0 = time.time()
             df = stage.fn(spark, {i: outputs[i] for i in stage.inputs})
-            tmp_dir = f"{out_dir}.tmp-{fp}"
-            if os.path.exists(tmp_dir):
-                shutil.rmtree(tmp_dir)
-            df.write.mode("overwrite").parquet(tmp_dir)
-            committed = spark.read.parquet(tmp_dir)
+            self.provider.write(spark, stage.name, df, fp)
+            committed = self.provider.read(spark, stage.name)
             part_counts = _partition_counts(committed)
             n_rows = sum(part_counts)
-            if os.path.exists(out_dir):
-                shutil.rmtree(out_dir)
-            os.replace(tmp_dir, out_dir)
             elapsed = time.time() - t0
             mean_p = (n_rows / len(part_counts)) if part_counts else 0.0
             manifest["stages"][stage.name] = {
@@ -154,7 +236,7 @@ class Pipeline:
                 "inputs": input_fps,
                 "committed": True,
                 "rows": n_rows,
-                "bytes": _dir_bytes(out_dir),
+                "bytes": self.provider.bytes_written(spark, stage.name),
                 "wall_sec": round(elapsed, 3),
                 "partitions": len(part_counts),
                 "partition_rows_max": max(part_counts) if part_counts else 0,
@@ -170,7 +252,7 @@ class Pipeline:
                     f"[pipeline] {stage.name}: computed {n_rows} rows in "
                     f"{elapsed:.1f}s ({fp})"
                 )
-            outputs[stage.name] = spark.read.parquet(out_dir)
+            outputs[stage.name] = committed
         return outputs
 
     def metrics(self) -> dict:

@@ -2,26 +2,28 @@
 
 Media rides as opaque ``binary`` columns with typed metadata structs —
 the standard large-scale training-data layout (content-addressed bytes +
-sidecar metadata). The Spark-side plumbing here is real and tested:
-schemas, partition-friendly batch shapes, ``mapInPandas`` iterator UDFs
-with bounded memory; only the codec itself is stubbed (no image/audio
-libraries in this container) behind ``DECODERS`` — swap in a real decoder
-(PIL / torchaudio / pyav) by registering a callable, nothing else changes.
+sidecar metadata). The Spark-side plumbing is real and tested: schemas,
+partition-friendly batch shapes, ``mapInPandas`` iterator UDFs with
+bounded memory. The codec registry is proven end-to-end with REAL
+pure-numpy parsers for uncompressed formats (24-bit BMP images, PCM16 WAV
+audio — :mod:`linref_spark.web.codecs`); compressed codecs (jpeg/png/mp4)
+remain stubbed (no media libraries in this container) — registering a
+PIL / torchaudio / pyav callable is a one-line swap.
 
 Operators:
 
 - :func:`with_media_meta` — sniff format + size from magic bytes (real,
   pure expressions);
 - :func:`decode_features` — mapInPandas feature extraction: batches of
-  binary -> fixed-width float vectors. Default decoder is a deterministic
-  byte-statistics fake (so pipelines and tests run end-to-end); real
-  decoders plug in;
+  binary -> fixed-width float vectors via ``DECODERS[kind]`` ('image' =
+  BMP grid features, 'audio' = WAV envelope, 'bytestats' = the declared
+  deterministic fake); undecodable bytes -> NULL;
 - :func:`sample_frames` — video frame sampling plumbing: one row per
   sampled frame index with byte-range metadata (stub slicing, real
   explode/schema);
-- :func:`resize_stub` — image resize signature: binary -> binary with
-  target dims in metadata (raises NotImplementedError unless a real
-  decoder is registered, as the task spec allows).
+- :func:`resize_images` — decode -> nearest resize -> re-encode through
+  ``RESIZERS[kind]`` (real for BMP); :func:`resize_stub` raises for
+  unregistered compressed codecs, as the task spec allows.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     LongType,
     StringType,
@@ -41,9 +44,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# registry: media kind -> callable(bytes) -> np.ndarray[float32] of FEATURE_DIM
-DECODERS: Dict[str, Callable[[bytes], np.ndarray]] = {}
+from linref_spark.web import codecs as C
+
+# registry: media kind -> callable(bytes) -> np.ndarray[float32] of
+# FEATURE_DIM, or None for bytes the codec does not handle (exotic formats
+# stay stubbed; rows surface as NULL features).
+# 'image' (24-bit BMP) and 'audio' (PCM16 WAV) are REAL pure-numpy parsers
+# (linref_spark/web/codecs.py); 'bytestats' is the declared deterministic
+# fake for format-agnostic smoke pipelines.
+DECODERS: Dict[str, Callable[[bytes], Optional[np.ndarray]]] = {}
 FEATURE_DIM = 16
+
+# (decode, encode) pairs for transforms that re-emit bytes (resize)
+RESIZERS: Dict[str, tuple] = {}
 
 MEDIA_META_TYPE = StructType(
     [
@@ -73,6 +86,7 @@ def media_format_expr(data: Column) -> Column:
     return (
         F.when(head.startswith("FFD8"), F.lit("jpeg"))
         .when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("424D"), F.lit("bmp"))
         .when(head.startswith("52494646"), F.lit("riff"))  # wav/avi
         .when(head.startswith("00000018"), F.lit("mp4"))
         .when(head.startswith("00000020"), F.lit("mp4"))
@@ -115,6 +129,7 @@ def decode_features(
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit].copy()
+                # undecodable bytes (exotic codec for this kind) -> NULL
                 chunk[out_col] = [
                     None if b is None else decoder(bytes(b))
                     for b in chunk[data_idx]
@@ -151,13 +166,63 @@ def sample_frames(
     )
 
 
-def resize_stub(
-    df: DataFrame, data_col: str = "media", width: int = 224, height: int = 224
+def resize_images(
+    df: DataFrame,
+    data_col: str = "media",
+    width: int = 224,
+    height: int = 224,
+    kind: str = "image",
+    out_col: str = "media_resized",
+    batch_limit: int = 64,
 ) -> DataFrame:
-    """Image resize: requires a real decoder. Clearly-marked stub per spec."""
-    if "image" not in DECODERS:
+    """Decode -> nearest-neighbor resize -> re-encode via the registered
+    (decode, encode) pair for ``kind``; undecodable rows surface as NULL.
+    Runs in a memory-bounded mapInPandas iterator like decode_features."""
+    if kind not in RESIZERS:
         raise NotImplementedError(
-            "Image resize needs a real decoder (no image libraries in this "
-            "environment). Register DECODERS['image'] to enable."
+            f"No (decode, encode) pair registered for kind={kind!r}. "
+            "Register RESIZERS[kind] to enable (compressed codecs are "
+            "deliberately stubbed in this environment)."
         )
-    raise NotImplementedError("resize via registered decoder not yet wired")
+    decode, encode = RESIZERS[kind]
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit].copy()
+                out = []
+                for b in chunk[data_col]:
+                    img = None if b is None else decode(bytes(b))
+                    out.append(
+                        None if img is None
+                        else encode(C.resize_nearest(img, width, height))
+                    )
+                chunk[out_col] = out
+                yield chunk
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_stub(
+    df: DataFrame, data_col: str = "media", width: int = 224, height: int = 224,
+    kind: str = "jpeg",
+) -> DataFrame:
+    """Resize for codecs WITHOUT a registered (decode, encode) pair — the
+    clearly-marked stub the spec permits (jpeg/png need real image libs).
+    Kinds with a registered pair delegate to :func:`resize_images`."""
+    if kind in RESIZERS:
+        return resize_images(df, data_col, width, height, kind)
+    raise NotImplementedError(
+        f"Resize for kind={kind!r} needs a real codec (no image libraries "
+        "in this environment). Register RESIZERS[kind] to enable."
+    )
+
+
+# real pure-numpy reference codecs (linref_spark/web/codecs.py)
+DECODERS["image"] = C.bmp_feature
+DECODERS["audio"] = C.wav_feature
+DECODERS["bytestats"] = _fake_feature
+RESIZERS["image"] = (C.decode_bmp24, C.encode_bmp24)

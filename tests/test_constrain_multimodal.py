@@ -84,13 +84,19 @@ def test_media_meta_and_features(spark):
     assert got[2]["format"] == "unknown"
     assert got[0]["n_bytes"] == 84
 
-    feats = MM.decode_features(df)
+    feats = MM.decode_features(df, kind="bytestats")
     out = {r.media_id: r.features for r in feats.collect()}
     assert all(len(v) == MM.FEATURE_DIM for v in out.values())
     assert abs(sum(out[0]) - 1.0) < 1e-6  # normalized histogram
     # determinism
-    out2 = {r.media_id: r.features for r in MM.decode_features(df).collect()}
+    out2 = {
+        r.media_id: r.features
+        for r in MM.decode_features(df, kind="bytestats").collect()
+    }
     assert out == out2
+    # compressed codecs are stubbed: kind='image' can't decode jpeg -> NULL
+    img = {r.media_id: r.features for r in MM.decode_features(df, kind="image").collect()}
+    assert img[0] is None and img[2] is None
 
 
 def test_sample_frames_plumbing(spark):
@@ -101,9 +107,81 @@ def test_sample_frames_plumbing(spark):
 
 
 def test_resize_is_explicit_stub(spark):
+    # jpeg (no registered codec) stays a declared stub
     df = spark.createDataFrame([(0, b"")], ["media_id", "media"])
     with pytest.raises(NotImplementedError):
         MM.resize_stub(df)
+
+
+def test_bmp_wav_codec_roundtrips():
+    import numpy as np
+
+    from linref_spark.web import codecs as C
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd width: padding
+    assert np.array_equal(C.decode_bmp24(C.encode_bmp24(img)), img)
+    wav = rng.randint(-30000, 30000, size=1001).astype(np.int16)
+    dec = C.decode_wav_pcm16(C.encode_wav_pcm16(wav, rate=8000))
+    assert dec is not None and dec[1] == 8000 and np.array_equal(dec[0], wav)
+    # non-matching bytes refuse to decode
+    assert C.decode_bmp24(b"BMgarbage") is None
+    assert C.decode_wav_pcm16(b"RIFFxxxxWAVE") is None
+
+
+def test_bmp_decode_resize_neardup_end_to_end(spark):
+    """VERDICT r1 gate: synthesized BMP bytes through decode -> resize ->
+    feature -> embedding near-dup, all on the real registry path."""
+    import numpy as np
+
+    from linref_spark.web import ann as ANN
+    from linref_spark.web import codecs as C
+
+    rng = np.random.RandomState(9)
+    rows_ = []
+    for i in range(6):
+        img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        twin = np.clip(img.astype(int) + rng.randint(-2, 3, img.shape), 0, 255
+                       ).astype(np.uint8)
+        rows_.append((i, bytearray(C.encode_bmp24(img))))
+        rows_.append((100 + i, bytearray(C.encode_bmp24(twin))))
+    df = spark.createDataFrame(rows_, "media_id long, media binary")
+
+    meta = MM.with_media_meta(df)
+    assert all(r.media_meta["format"] == "bmp" for r in meta.collect())
+
+    rs = MM.resize_images(df, width=8, height=8)
+    for r in rs.collect():
+        out = C.decode_bmp24(bytes(r.media_resized))
+        assert out is not None and out.shape == (8, 8, 3)
+
+    feats = MM.decode_features(df, kind="image").withColumnRenamed(
+        "media_id", "vec_id"
+    ).withColumnRenamed("features", "embedding")
+    assert all(r.embedding is not None for r in feats.collect())
+    pairs = {
+        (r.a, r.b)
+        for r in ANN.cosine_neardup_pairs(feats, dim=16, threshold=0.999).collect()
+    }
+    assert all((i, 100 + i) in pairs for i in range(6))
+
+
+def test_wav_features(spark):
+    import numpy as np
+
+    from linref_spark.web import codecs as C
+
+    t = np.arange(16000)
+    quiet = (np.sin(t / 50.0) * 1000).astype(np.int16)
+    loud = (np.sin(t / 50.0) * 20000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, bytearray(C.encode_wav_pcm16(quiet))),
+         (1, bytearray(C.encode_wav_pcm16(loud)))],
+        "media_id long, media binary",
+    )
+    out = {r.media_id: r.features for r in MM.decode_features(df, kind="audio").collect()}
+    assert len(out[0]) == 16
+    assert sum(out[1]) > 10 * sum(out[0])  # louder signal -> bigger envelope
 
 
 def test_split_at_locs(spark):

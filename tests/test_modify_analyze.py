@@ -319,3 +319,61 @@ def test_integrate_multi_group(spark):
         ("R", 0.0, 5.0), ("R", 5.0, 10.0), ("R", 10.0, 15.0),
         ("S", 0.0, 2.0), ("S", 2.0, 4.0), ("S", 4.0, 8.0),
     ]
+
+
+# --- geometry-sync guard (linref/ext/validation.py:9-49) ---------------------
+
+
+def test_geometry_sync_guard_modes(spark):
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from linref_spark.lrs import LRS, GeometrySyncError, GeometrySyncWarning
+
+    df = spark.createDataFrame(
+        [("A", 0.0, 5.0, 0)], "route string, beg double, end double, event_id long"
+    ).withColumn(
+        "geom_m",
+        F.struct(
+            F.array(F.lit(0.0), F.lit(5.0)).alias("xs"),
+            F.array(F.lit(0.0), F.lit(0.0)).alias("ys"),
+            F.array(F.lit(0.0), F.lit(5.0)).alias("ms"),
+        ),
+    )
+    base = dict(key_cols=("route",), beg_col="beg", end_col="end", geom_m_col="geom_m")
+
+    # drop (default): geometry column removed
+    out = M.shift(df, LRS(**base), 1.0)
+    assert "geom_m" not in out.columns
+
+    # none: untouched
+    out = M.shift(df, LRS(**base, geometry_sync="none"), 1.0)
+    assert "geom_m" in out.columns
+
+    # warn: kept + warned
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = M.shift(df, LRS(**base, geometry_sync="warn"), 1.0)
+        assert "geom_m" in out.columns
+        assert any(issubclass(x.category, GeometrySyncWarning) for x in w)
+
+    # error: raises
+    import pytest as _pytest
+
+    with _pytest.raises(GeometrySyncError):
+        M.extend(df, LRS(**base, geometry_sync="error"), 1.0)
+
+    # per-call override wins over the LRS attribute
+    out = M.round_measures(df, LRS(**base, geometry_sync="error"), decimals=1,
+                           geometry_sync="none")
+    assert "geom_m" in out.columns
+
+    # invalid values rejected
+    with _pytest.raises(ValueError):
+        LRS(**base, geometry_sync="explode")
+
+    # non-spatial frames unaffected
+    out = M.shift(df.drop("geom_m"), LRS(key_cols=("route",), beg_col="beg",
+                                         end_col="end"), 1.0)
+    assert out.count() == 1

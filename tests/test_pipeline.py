@@ -80,3 +80,40 @@ def test_pipeline_partial_output_not_committed(spark, base_dir):
     pipe2 = Pipeline(base_dir, make_stages(counter))
     pipe2.run(spark, log=None)
     assert counter["a"] == 1  # resumed, not recomputed
+
+
+def test_provider_factory_and_iceberg_guard(spark, tmp_path):
+    from linref_spark.pipeline.checkpoint import (
+        IcebergProvider,
+        ParquetProvider,
+        make_provider,
+    )
+
+    assert isinstance(make_provider("parquet", str(tmp_path)), ParquetProvider)
+    assert isinstance(make_provider("iceberg", str(tmp_path)), IcebergProvider)
+    with pytest.raises(ValueError):
+        make_provider("delta", str(tmp_path))
+    # no Iceberg catalog configured in this container -> clear error
+    ice = IcebergProvider(catalog="local")
+    if spark.conf.get("spark.sql.catalog.local", None) is None:
+        with pytest.raises(RuntimeError, match="Iceberg catalog"):
+            ice.exists(spark, "s1")
+    else:  # pragma: no cover - only on Iceberg-enabled clusters
+        assert ice.exists(spark, "nonexistent_stage_xyz") is False
+
+
+def test_pipeline_iceberg_format_flag_is_config_swap(spark, tmp_path):
+    """format='iceberg' must be accepted at construction (the swap is
+    config, not code) and fail with the catalog guidance only at run."""
+    from linref_spark.pipeline.checkpoint import Pipeline, Stage
+
+    p = Pipeline(
+        str(tmp_path),
+        [Stage("a", lambda s, _: s.range(3).toDF("x"))],
+        format="iceberg",
+    )
+    if spark.conf.get("spark.sql.catalog.local", None) is None:
+        with pytest.raises(RuntimeError, match="Iceberg catalog"):
+            p.run(spark, log=None)
+    else:  # pragma: no cover
+        assert p.run(spark, log=None)["a"].count() == 3
