@@ -67,25 +67,37 @@ def global_ordinal_id(
     partitioner samples, rank-in-total-order is unchanged. Pass tie-breaking
     columns for full determinism (ties co-locate but number arbitrarily,
     exactly as with a global window).
+
+    ONE full-data shuffle (the range partition): the partition-local index
+    comes from ``monotonically_increasing_id`` evaluated after
+    ``sortWithinPartitions`` — Spark documents its layout as partition id in
+    the upper 31 bits, record number within the partition in the lower 33
+    (deterministic here because the in-partition order is pinned by the
+    sort) — so no second hash exchange for a per-pid window is needed.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         part = df.repartitionByRange(*cols)
     else:
         part = df.repartitionByRange(num_partitions, *cols)
-    part = part.withColumn("_ord_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_ord_pid").orderBy(*cols)
-    local = part.withColumn("_ord_local", F.row_number().over(w_local).cast("long"))
-    counts = local.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
+    mask33 = (1 << 33) - 1
+    part = (
+        part.sortWithinPartitions(*cols)
+        .withColumn("_ord_mid", F.monotonically_increasing_id())
+        .withColumn("_ord_pid", F.shiftright(F.col("_ord_mid"), 33))
+        .withColumn("_ord_local", F.col("_ord_mid").bitwiseAND(F.lit(mask33)))
+        .drop("_ord_mid")
+    )
+    counts = part.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
     w_off = Window.orderBy("_ord_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn(
         "_ord_off", F.coalesce(F.sum("_ord_n").over(w_off), F.lit(0)).cast("long")
     ).drop("_ord_n")
-    out = local.join(F.broadcast(offsets), on="_ord_pid")
+    out = part.join(F.broadcast(offsets), on="_ord_pid")
     return out.withColumn(
-        out_col, (F.col("_ord_off") + F.col("_ord_local") - 1).cast("long")
+        out_col, (F.col("_ord_off") + F.col("_ord_local")).cast("long")
     ).drop("_ord_pid", "_ord_local", "_ord_off")
 
 
