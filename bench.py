@@ -64,12 +64,25 @@ def bench_queries(spark):
     def q_distribute():
         materialize(E.q_seg_distribute(spark, SF_DIR))
 
+    def q_seg_split():
+        materialize(E.q_seg_split(spark, SF_DIR))
+
     def q_minhash_lsh():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         materialize(DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4))
 
     def q_ann_topk():
         materialize(E.q_ann_topk(spark, SF_DIR))
+
+    def q_lsh_topk():
+        from linref_spark.web import ann as ANN
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        queries = emb.where(F.col("vec_id") % 500 == 0)
+        materialize(
+            ANN.lsh_topk(emb, queries, dim=dim, k=5, n_planes=16, bands=4)
+        )
 
     def q_pages_pipeline():
         from linref_spark.events.frame import add_event_id
@@ -112,8 +125,10 @@ def bench_queries(spark):
         "dissolve": q_dissolve,
         "resegment": q_resegment,
         "distribute": q_distribute,
+        "seg_split": q_seg_split,
         "minhash_lsh": q_minhash_lsh,
         "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
         "pages_pipeline": q_pages_pipeline,
     }
 

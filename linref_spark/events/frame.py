@@ -74,12 +74,27 @@ def global_ordinal_id(
     the upper 31 bits, record number within the partition in the lower 33
     (deterministic here because the in-partition order is pinned by the
     sort) — so no second hash exchange for a per-pid window is needed.
+
+    CONSISTENCY REQUIREMENT: the per-partition counts and the data rows
+    must observe the SAME range boundaries. Each separate plan instance
+    samples its own boundaries, and reservoir sampling is row-order
+    dependent — when the input is itself a shuffle output (randomized
+    block-fetch order), two instantiations can draw DIFFERENT boundaries,
+    silently corrupting the offsets. The ``persist`` below makes both
+    branches read one shared InMemoryRelation (one partitioner, computed
+    once; disk-backed at scale); it is what makes the ordinal correct, not
+    an optimization. Pipelines that cannot afford the materialization
+    should mint ids with :func:`hash_event_id` instead.
     """
+    from pyspark import StorageLevel
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
-        part = df.repartitionByRange(*cols)
-    else:
-        part = df.repartitionByRange(num_partitions, *cols)
+        # pinned count also keeps AQE from coalescing branches differently
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    part = df.repartitionByRange(num_partitions, *cols)
     mask33 = (1 << 33) - 1
     part = (
         part.sortWithinPartitions(*cols)
@@ -87,7 +102,7 @@ def global_ordinal_id(
         .withColumn("_ord_pid", F.shiftright(F.col("_ord_mid"), 33))
         .withColumn("_ord_local", F.col("_ord_mid").bitwiseAND(F.lit(mask33)))
         .drop("_ord_mid")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = part.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
     w_off = Window.orderBy("_ord_pid").rowsBetween(
         Window.unboundedPreceding, -1

@@ -16,7 +16,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from linref_spark.events.analyze import find_inside, find_same
-from linref_spark.events.frame import centers_col, global_ordinal_id, lengths_col
+from linref_spark.events.frame import (
+    centers_col,
+    consecutive_strings,
+    global_ordinal_id,
+    lengths_col,
+)
 from linref_spark.lrs import EVENT_ID, LRS, apply_geometry_sync
 
 SEGMENT_FILL_ALL = {"none", "cut", "left", "right", "extend", "balance"}
@@ -42,8 +47,9 @@ def dissolve(
     Spark-first: classic sessionization. ``sort=True`` (the useful mode)
     orders within (keys + retain) by (beg, end, event_id) — the window
     partitions by route so the whole operation is one shuffle. ``sort=False``
-    reproduces raw-row-order runs via a global event_id window (parity only;
-    single-task — don't use at scale).
+    reproduces raw-row-order runs (requires dense event ids): the "previous
+    row" comes from an equi-join on ``event_id - 1`` and run ids from the
+    bucketed distributed prefix sum — no global window.
 
     Output: one row per dissolved span with columns keys+retain, beg, end,
     ``n_events``, optional ``members_col`` (sorted source event_id array),
@@ -62,15 +68,11 @@ def dissolve(
         run = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
         sessioned = df.withColumn("_run", run)
     else:
-        w = Window.orderBy(F.col(EVENT_ID).asc())
-        same_group = F.lit(True)
-        for k in keys:
-            same_group = same_group & (F.lag(F.col(k)).over(w) == F.col(k))
-        new_run = F.when(
-            same_group & (F.lag(end).over(w) == beg), F.lit(0)
-        ).otherwise(F.lit(1))
-        run = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        sessioned = df.withColumn("_run", run)
+        # raw-row-order runs over dense ids — distributed prefix sum, keyed
+        # on (keys + retain) adjacency, exactly consecutive_strings but with
+        # the extended grouping key
+        run_lrs = LRS(key_cols=tuple(keys), beg_col=lrs.beg_col, end_col=lrs.end_col)
+        sessioned = consecutive_strings(df, run_lrs, out_col="_run")
 
     aggs = [
         F.min(beg).alias(lrs.beg_col),

@@ -8,7 +8,13 @@ the streaming equivalents of its hot aggregations:
 - :func:`stream_tile_counts` — watermarked sliding-window page counts per
   tile (the raster rollup, continuously);
 - :func:`stream_sessionize` — per-route session windows over event gaps
-  (the streaming analogue of dissolve's sessionization).
+  (the streaming analogue of dissolve's sessionization);
+- :func:`stream_dissolve_intervals` — a CUSTOM stateful operator
+  (``applyInPandasWithState``): per-route incremental union of measure
+  intervals — the true streaming ``dissolve``, maintaining the merged
+  disjoint-span set as typed state and re-emitting a route's spans
+  whenever they change. State is bounded by spans-per-route (merging keeps
+  it compact: heavy overlap collapses to few spans).
 
 Both are pure DataFrame transforms over a streaming frame: callers own the
 source (`spark.readStream.schema(...).parquet(dir)`, Kafka, rate) and sink
@@ -67,4 +73,94 @@ def stream_sessionize(
             F.col(key_col),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def stream_dissolve_intervals(
+    events: DataFrame,
+    key_col: str = "route_id",
+    beg_col: str = "beg",
+    end_col: str = "end",
+) -> DataFrame:
+    """Streaming coverage dissolve: per-key incremental UNION of [beg, end]
+    measure intervals via ``applyInPandasWithState``.
+
+    Merges touching-or-overlapping intervals (``beg <= prev_end``) — the
+    coverage-union semantics, which equal batch ``dissolve`` whenever
+    events do not partially overlap (the common LRS case; batch dissolve
+    chains only exactly-touching events and keeps overlapping events as
+    separate runs, a distinction that would require unbounded per-key
+    state to reproduce incrementally). Each micro-batch folds its rows
+    into the key's merged-span state and emits the key's CURRENT spans
+    (update output mode). ``n_events`` counts all events folded so far.
+
+    Scale shape: state per key is (spans x 2 doubles + 1 long) — bounded
+    and typically tiny because merging collapses overlap; the stateful
+    exchange partitions by key like any streaming aggregation.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("beg", DoubleType()),
+            StructField("end", DoubleType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("begs", ArrayType(DoubleType())),
+            StructField("ends", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            begs, ends, n = state.get
+            ivs = list(zip(begs, ends))
+        else:
+            ivs, n = [], 0
+        for pdf in pdfs:
+            n += len(pdf)
+            ivs.extend(
+                zip(pdf[beg_col].astype(float), pdf[end_col].astype(float))
+            )
+        ivs.sort()
+        merged: list = []
+        for b, e in ivs:
+            if merged and b <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], e)
+            else:
+                merged.append((b, e))
+        state.update(
+            ([b for b, _ in merged], [e for _, e in merged], n)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(merged),
+                "beg": [b for b, _ in merged],
+                "end": [e for _, e in merged],
+                "n_events": [n] * len(merged),
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -30,10 +30,11 @@ target position — one narrow join + one window + one groupBy. The offset
 table is O(decay_size), driver-side, broadcast implicitly.
 
 Scale note: positions are the target frame's dense 0-based ``event_id``
-(linref's row index). The group mask means only same-route neighbors
-survive, so a scale pipeline can equivalently use per-route positions as
-long as each route's rows are contiguous in canonical order — which
-``add_event_id``'s canonical sort guarantees.
+(linref's row index), minted by the DISTRIBUTED ordinal in
+:func:`linref_spark.events.frame.global_ordinal_id` — no single-task sort
+anywhere in the position pipeline. The group mask means only same-route
+neighbors contribute, and canonical order keeps each route's rows
+contiguous, so the positional window semantics match linref exactly.
 """
 
 from __future__ import annotations

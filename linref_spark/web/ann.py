@@ -9,6 +9,10 @@
   two vectors are candidates when they agree on ANY band (OR-construction,
   same design as minhash banding in :mod:`linref_spark.web.dedup`), which
   avoids the single-bucket recall cliff of requiring all bits to agree.
+- ``ivf_topk``: IVF-Flat — a k-means coarse quantizer (trained on a
+  bounded deterministic sample) buckets the corpus into inverted lists;
+  queries probe their ``n_probe`` nearest lists. The scale path when
+  neither side broadcasts and per-query exhaustive scans are too wide.
 - Hyperplanes are deterministic (splitmix64-style integer mixing), so
   bucket assignment is reproducible across runs and cluster sizes.
 
@@ -323,4 +327,143 @@ def lsh_bucket_metrics(
         F.sum(
             F.when(F.col("_n") > max_bucket, F.col("_n")).otherwise(F.lit(0))
         ).alias("n_dropped_rows"),
+    )
+
+
+# --- IVF-Flat (coarse-quantizer) ANN -------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample_size: int = 10000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """K-means coarse quantizer trained on a bounded, deterministic sample.
+
+    The sample is the ``sample_size`` lowest-id vectors (a distributed TopK
+    — deterministic regardless of partitioning); Lloyd iterations run
+    driver-side in numpy (n_centroids x dim is tiny). Cosine-style
+    clustering: vectors are L2-normalized first, so nearest-centroid by
+    dot product equals nearest by cosine. Deterministic: seeded numpy RNG
+    for the k-means++ style init.
+    """
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        a = np.asarray(r[vec_col], dtype=np.float64)
+        X[i, : min(len(a), dim)] = a[:dim]
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.maximum(norms, 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Arrow UDF: embedding -> array of the ``n_probe`` nearest centroid
+    ids (by cosine; one matmul per batch against the closure-held
+    centroid matrix)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    n_probe = min(n_probe, k)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _assign(v: pd.Series) -> pd.Series:
+        n = len(v)
+        X = np.zeros((n, dim), dtype=np.float64)
+        null = np.zeros(n, dtype=bool)
+        for i, row in enumerate(v):
+            if row is None:
+                null[i] = True
+                continue
+            a = np.asarray(row, dtype=np.float64)
+            m = min(len(a), dim)
+            X[i, :m] = a[:m]
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        if n_probe == 1:
+            top = np.argmax(sims, axis=1)[:, None].astype(np.int64)
+        else:
+            part = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+            order = np.take_along_axis(sims, part, axis=1).argsort(axis=1)[:, ::-1]
+            top = np.take_along_axis(part, order, axis=1).astype(np.int64)
+        return pd.Series([None if null[i] else top[i] for i in range(n)])
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    sample_size: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: corpus vectors live in their single
+    nearest-centroid list; each query probes its ``n_probe`` nearest lists
+    and scores those candidates exactly (the classic inverted-file ANN —
+    the scale path when neither side broadcasts).
+
+    Pass ``centroids`` to reuse a trained quantizer across calls. The scan
+    per query touches ~n_probe/n_centroids of the corpus; the candidate
+    join is an equi-join on centroid id (one shuffle on a small-cardinality
+    key — salt with finer centroids if lists skew).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_centroids, sample_size, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+    assign1 = make_ivf_assign_udf(centroids, 1)
+    assignp = make_ivf_assign_udf(centroids, n_probe)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cid", F.element_at(assign1(F.col("_cv")), 1))
+    qb = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
+    ).select(
+        query_id_col, "_qv", F.explode(assignp(F.col("_qv"))).alias("_cid")
+    )
+    cand = cb.join(F.broadcast(qb), on="_cid").where(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    cand = cand.withColumn(
+        "cos",
+        cosine(
+            F.transform(F.col("_qv"), lambda v: v.cast("double")),
+            F.transform(F.col("_cv"), lambda v: v.cast("double")),
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos")
     )

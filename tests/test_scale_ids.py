@@ -196,3 +196,33 @@ def test_crossing_intersection_unchanged():
     )
     got = set((round(x, 9), round(y, 9)) for x, y in pts)
     assert got == {(1.0, 1.0)}
+
+
+def test_dissolve_sort_false_raw_row_order(spark):
+    from linref_spark.events.modify import dissolve
+
+    # raw-row-order runs: rows 0,1 chain; row 2 (other route) breaks the
+    # chain even though row 3 would continue route A; matches linref's
+    # unsorted dissolve semantics (cumsum over collection order)
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    rows = [
+        ("A", 0.0, 1.0, 0),
+        ("A", 1.0, 2.0, 1),
+        ("B", 0.0, 1.0, 2),
+        ("A", 2.0, 3.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "route string, beg double, end double, event_id long")
+    out = dissolve(df, lrs, sort=False)
+    spans = sorted(
+        (r["route"], r["beg"], r["end"], r["n_events"]) for r in out.collect()
+    )
+    assert spans == [
+        ("A", 0.0, 2.0, 2),
+        ("A", 2.0, 3.0, 1),
+        ("B", 0.0, 1.0, 1),
+    ]
+    # sorted mode merges all three A rows
+    merged = sorted(
+        (r["route"], r["beg"], r["end"]) for r in dissolve(df, lrs).collect()
+    )
+    assert merged == [("A", 0.0, 3.0), ("B", 0.0, 1.0)]

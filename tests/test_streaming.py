@@ -78,3 +78,56 @@ def test_stream_sessionize(spark, event_dir, tmp_path):
         per_route.setdefault(r.route_id, 0)
         per_route[r.route_id] += 1
     assert all(v == 2 for v in per_route.values())
+
+
+def test_stream_dissolve_intervals_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the final
+    per-route spans must equal the batch dissolve of all events."""
+    from linref_spark.events.frame import add_event_id
+    from linref_spark.events.modify import dissolve
+    from linref_spark.lrs import LRS
+    from linref_spark.pipeline.streaming import stream_dissolve_intervals
+
+    rows = []
+    # unique touching chains per route (no partial overlap, so streaming
+    # union == batch dissolve), plus a gap to force multiple spans
+    for i in range(90):
+        route = f"R{i % 3}"
+        j = i // 3
+        beg = float(j * 4 + (40 if j >= 15 else 0))  # gap after 15 chained
+        rows.append((route, beg, beg + 4.0))
+    batch_df = spark.createDataFrame(rows, "route_id string, beg double, end double")
+    path = str(tmp_path / "iv_events")
+    # two files -> at least one micro-batch boundary exercises state reuse
+    batch_df.limit(60).write.parquet(path)
+    batch_df.exceptAll(batch_df.limit(60)).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = stream_dissolve_intervals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("iv_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_iv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_df = spark.table("iv_stream")
+    # update mode re-emits per batch: keep the latest emission per key
+    # (max n_events), then compare span sets
+    import collections
+
+    latest = collections.defaultdict(list)
+    max_n = {}
+    for r in got_df.collect():
+        max_n[r["route_id"]] = max(max_n.get(r["route_id"], 0), r["n_events"])
+    for r in got_df.collect():
+        if r["n_events"] == max_n[r["route_id"]]:
+            latest[r["route_id"]].append((r["beg"], r["end"]))
+    lrs = LRS(key_cols=("route_id",), beg_col="beg", end_col="end")
+    want = collections.defaultdict(list)
+    for r in dissolve(add_event_id(batch_df, lrs), lrs).collect():
+        want[r["route_id"]].append((r["beg"], r["end"]))
+    for k in want:
+        assert sorted(set(latest[k])) == sorted(want[k]), k

@@ -213,3 +213,35 @@ def test_dedup_drop_metrics(spark, docs):
     assert ng.n_capped_shingles > 0 and ng.n_shingles >= ng.n_capped_shingles
     ng2 = DD.ngram_posting_drop_metrics(docs, max_posting=2000).first()
     assert ng2.n_capped_shingles == 0
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-Flat: clustered corpus, recall@10 >= 0.9 vs brute force with
+    n_probe=4 of 16 centroids; centroid training is deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    dim, n_clusters, per = 64, 16, 15
+    rows = []
+    for c in range(n_clusters):
+        base = rng.normal(size=dim)
+        for i in range(per):
+            v = base + rng.normal(scale=0.05, size=dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id % 15 = 0")
+    brute = {}
+    for r in ANN.cosine_topk(df, queries, k=10).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    C = ANN.train_ivf_centroids(df, dim, n_centroids=16, seed=7)
+    C2 = ANN.train_ivf_centroids(df, dim, n_centroids=16, seed=7)
+    import numpy as _np
+
+    assert _np.array_equal(C, C2)  # deterministic training
+    approx = {}
+    out = ANN.ivf_topk(df, queries, dim=dim, k=10, n_centroids=16, n_probe=4,
+                       centroids=C)
+    for r in out.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.9
