@@ -298,6 +298,32 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_docs_simhash(spark, sf_dir):
+    # rows-only check (xxhash64 bit votes have no DuckDB equivalent)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.simhash(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # rows-only check (k-means quantizer training is not SQL-expressible);
+    # pytest gates recall@10 >= 0.9 vs brute force on a clustered corpus
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    out = ANN.ivf_topk(
+        emb, queries, dim=dim, k=5, n_centroids=32, n_probe=8, seed=42
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -473,7 +499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_simhash": q_docs_simhash,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
     }
 
