@@ -116,6 +116,37 @@ def global_ordinal_id(
     ).drop("_ord_pid", "_ord_local", "_ord_off")
 
 
+def dense_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    out_col: str,
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sum of ``val_col`` in ascending
+    ``id_col`` order (ids must be unique longs; arithmetic shift keeps
+    negative ids ordered). Two-level: local cumsum within ``id >>
+    bucket_bits`` buckets + per-bucket offsets cumulated over the tiny
+    bucket-total table (broadcast back). Unlike :func:`global_ordinal_id`
+    the bucketing is a pure function of the DATA, so separate plan
+    branches agree by construction — no persist needed.
+    """
+    d = df.withColumn("_ps_bk", F.shiftright(F.col(id_col), bucket_bits))
+    w_local = Window.partitionBy("_ps_bk").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = d.withColumn("_ps_loc", F.sum(F.col(val_col)).over(w_local))
+    totals = d.groupBy("_ps_bk").agg(F.sum(F.col(val_col)).alias("_ps_bt"))
+    w_off = Window.orderBy("_ps_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_ps_off", F.coalesce(F.sum("_ps_bt").over(w_off), F.lit(0)).cast("long")
+    ).drop("_ps_bt")
+    out = d.join(F.broadcast(offsets), on="_ps_bk")
+    return out.withColumn(
+        out_col, (F.col("_ps_off") + F.col("_ps_loc")).cast("long")
+    ).drop("_ps_bk", "_ps_loc", "_ps_off")
+
+
 def add_event_id(
     df: DataFrame, lrs: Optional[LRS] = None, order_by: Optional[Sequence] = None
 ) -> DataFrame:
@@ -275,21 +306,8 @@ def consecutive_strings(
         "_nr", F.when(is_consec, F.lit(0)).otherwise(F.lit(1)).cast("long")
     ).drop("_pv_id", "_pv_end", *[f"_pv_{k}" for k in (lrs.key_cols if lrs.is_grouped else ())])
 
-    bucket = F.shiftright(F.col(EVENT_ID), bucket_bits)
-    flagged = flagged.withColumn("_bk", bucket)
-    w_local = Window.partitionBy("_bk").orderBy(F.col(EVENT_ID)).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    flagged = flagged.withColumn("_loc", F.sum("_nr").over(w_local))
-    totals = flagged.groupBy("_bk").agg(F.sum("_nr").alias("_bt"))
-    w_off = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_boff", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).cast("long")
-    ).drop("_bt")
-    out = flagged.join(F.broadcast(offsets), on="_bk")
-    return out.withColumn(
-        out_col, (F.col("_boff") + F.col("_loc") - 1).cast("long")
-    ).drop("_bk", "_nr", "_loc", "_boff")
+    out = dense_prefix_sum(flagged, EVENT_ID, "_nr", out_col, bucket_bits)
+    return out.withColumn(out_col, F.col(out_col) - 1).drop("_nr")
 
 
 def lengths_col(lrs: LRS) -> Column:

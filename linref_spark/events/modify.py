@@ -19,6 +19,7 @@ from linref_spark.events.analyze import find_inside, find_same
 from linref_spark.events.frame import (
     centers_col,
     consecutive_strings,
+    dense_prefix_sum,
     global_ordinal_id,
     lengths_col,
 )
@@ -142,6 +143,12 @@ def resegment(
             "_n", F.greatest(F.col("_nseg"), F.lit(1))
         )
 
+    # output event ids BEFORE the explode: the id of segment i of a source
+    # is (exclusive prefix sum of _n over source ids) + i — computed on the
+    # narrow pre-explode frame (a data-keyed prefix sum; no shuffle of the
+    # exploded table, no persist). Identical values to a global
+    # row_number over (source_id, _i).
+    df2 = dense_prefix_sum(df2, EVENT_ID, "_n", "_cum")
     exploded = df2.select(
         "*", F.posexplode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i", "_junk")
     ).drop("_junk")
@@ -167,12 +174,14 @@ def resegment(
     out = (
         exploded.withColumn("_seg_beg", seg_beg)
         .withColumn("_seg_end", seg_end)
+        .withColumn(EVENT_ID + "_new", F.col("_cum") - F.col("_n") + F.col("_i"))
         .withColumnRenamed(EVENT_ID, SOURCE_ID)
-        .drop(lrs.beg_col, lrs.end_col, "_nseg", "_n", "_extend_last")
+        .withColumnRenamed(EVENT_ID + "_new", EVENT_ID)
+        .drop(lrs.beg_col, lrs.end_col, "_nseg", "_n", "_extend_last", "_cum", "_i")
         .withColumnRenamed("_seg_beg", lrs.beg_col)
         .withColumnRenamed("_seg_end", lrs.end_col)
     )
-    return global_ordinal_id(out, [SOURCE_ID, "_i"], EVENT_ID).drop("_i")
+    return out
 
 
 def separate(

@@ -226,3 +226,29 @@ def test_dissolve_sort_false_raw_row_order(spark):
         (r["route"], r["beg"], r["end"]) for r in dissolve(df, lrs).collect()
     )
     assert merged == [("A", 0.0, 3.0), ("B", 0.0, 1.0)]
+
+
+def test_global_ordinal_stable_on_shuffle_upstream(spark):
+    """Regression: when the ordinal's input is itself a shuffle output
+    (randomized block-fetch order), repeated evaluations must still agree
+    — the range boundaries must be pinned by the shared persisted frame
+    (separate plan instances used to sample different boundaries and
+    corrupt the offsets)."""
+    base = spark.range(4000).select(
+        (F.col("id") % 37).alias("route"),
+        (F.col("id") % 501).cast("double").alias("edge"),
+    )
+    # distinct -> hash shuffle upstream, like integrate's edge union
+    edges = base.distinct()
+    out = global_ordinal_id(edges, ["route", "edge"], "oid")
+    n = edges.count()
+    for _ in range(3):
+        stats = out.agg(
+            F.min("oid"), F.max("oid"), F.countDistinct("oid"), F.count("*")
+        ).first()
+        assert tuple(stats) == (0, n - 1, n, n), stats
+    # values equal the global-window rank
+    w = Window.orderBy("route", "edge")
+    want = edges.withColumn("oid2", F.row_number().over(w).cast("long") - 1)
+    j = out.join(want, on=["route", "edge"])
+    assert j.where(F.col("oid") != F.col("oid2")).count() == 0
