@@ -18,6 +18,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def group_indices(keys: np.ndarray) -> list[np.ndarray]:
+    """Row-index arrays of equal-key groups — the vectorized replacement
+    for a per-row ``dict.setdefault`` pass when batching Arrow rows by a
+    geometry key (argsort + boundary split: O(n log n) in numpy instead of
+    n Python dict operations)."""
+    order = np.argsort(keys, kind="stable")
+    if len(order) == 0:
+        return []
+    sk = keys[order]
+    cuts = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+    return np.split(order, cuts)
+
+
 def cumdist(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Cumulative vertex distances, cumdist[0] = 0."""
     seg = np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2)

@@ -367,15 +367,11 @@ def udf_snap_by_geom(
     loc = np.full(n, np.nan)
     pxv = px.to_numpy(dtype=np.float64, na_value=np.nan)
     pyv = py.to_numpy(dtype=np.float64, na_value=np.nan)
-    groups: dict = {}
-    for i, k in enumerate(geom_key):
-        groups.setdefault(k, []).append(i)
-    for k, idx in groups.items():
-        i0 = idx[0]
+    for ii in K.group_indices(geom_key.to_numpy()):
+        i0 = int(ii[0])
         x, y, mm = xs.iloc[i0], ys.iloc[i0], ms.iloc[i0]
         if x is None:
             continue
-        ii = np.array(idx)
         d, m_out = K.snap_points_batch(
             _np(x), _np(y), None if mm is None else _np(mm), pxv[ii], pyv[ii]
         )

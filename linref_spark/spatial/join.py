@@ -357,14 +357,11 @@ def project_points_broadcast(
         loc = np.full(n, np.nan)
         pxv = px.to_numpy(dtype=np.float64, na_value=np.nan)
         pyv = py.to_numpy(dtype=np.float64, na_value=np.nan)
-        groups: dict = {}
-        for i, k in enumerate(route_eid):
-            groups.setdefault(k, []).append(i)
-        for k, idx in groups.items():
-            g = gm.get(k)
+        kv = route_eid.to_numpy()
+        for ii in K.group_indices(kv):
+            g = gm.get(int(kv[ii[0]]))
             if g is None:
                 continue
-            ii = np.array(idx)
             d, m_out = K.snap_points_batch(g[0], g[1], g[2], pxv[ii], pyv[ii])
             dist[ii] = d
             loc[ii] = m_out

@@ -57,11 +57,8 @@ def _make_match_udf(densify):
         hd = np.full(n, np.nan)
         beg = np.full(n, np.nan)
         end = np.full(n, np.nan)
-        groups: dict = {}
-        for i, k in enumerate(tid):
-            groups.setdefault(k, []).append(i)
-        for idx in groups.values():
-            f = idx[0]
+        for idx in K.group_indices(tid.to_numpy()):
+            f = int(idx[0])
             if txs.iloc[f] is None:
                 continue
             tx = np.asarray(txs.iloc[f], dtype=np.float64)
