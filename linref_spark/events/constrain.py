@@ -44,6 +44,7 @@ def constrain_to(
         fill_gaps=False,
         expand=True,
         strategy=strategy,
+        dense_ids=False,  # interval ids are dropped below; hash ids skip a sort
     )
     covered = integrated.where(
         (F.col("index_0") >= 0) & (F.col("index_1") >= 0)
@@ -130,6 +131,7 @@ def split_at_locs(
         split_at_locs=True,
         expand=True,
         strategy=strategy,
+        dense_ids=False,  # interval ids are dropped below; hash ids skip a sort
     )
     keys = list(lrs.key_cols)
     out = integrated.where(F.col("index_0") >= 0)

@@ -40,6 +40,7 @@ def integrate(
     split_at_locs: bool = False,
     expand: bool = False,
     strategy: JoinStrategy = EQUI,
+    dense_ids: bool = True,
 ) -> DataFrame:
     """Returns the integrated interval frame with columns:
     key cols (named as in the first frame), ``beg``, ``end``, ``event_id``,
@@ -81,10 +82,18 @@ def integrate(
         .where(F.col("_next").isNotNull())
         .select(*keys, F.col("_edge").alias("beg"), F.col("_next").alias("end"))
     )
-    # dense interval ids in canonical order — distributed ordinal, no
-    # single-task global window (intervals are disjoint per key, so
-    # (keys, beg) is a total order)
-    intervals = global_ordinal_id(intervals, [*keys, "beg"], EVENT_ID).cache()
+    if dense_ids:
+        # dense interval ids in canonical order (linref's positional
+        # index) — distributed ordinal, no single-task global window
+        # (intervals are disjoint per key, so (keys, beg) is total)
+        intervals = global_ordinal_id(intervals, [*keys, "beg"], EVENT_ID)
+    else:
+        # scale path: the id only keys the relate-back join — a hash of
+        # the unique (keys, beg) is enough (zero sort, zero persist)
+        intervals = intervals.withColumn(
+            EVENT_ID, F.xxhash64(*[F.col(k) for k in keys], F.col("beg"))
+        )
+    intervals = intervals.cache()
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------
