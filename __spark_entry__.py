@@ -353,6 +353,18 @@ def q_seg_constrain(spark, sf_dir):
     )
 
 
+def q_seg_consecutive_strings(spark, sf_dir):
+    """Global run ids of chained events — exercises the distributed
+    prefix-sum (dense ids -> join-on-id-1 flags -> bucketed cumsum)."""
+    from linref_spark.events.frame import consecutive_strings
+
+    seg = _seg(spark, sf_dir, 1)
+    out = consecutive_strings(seg, SEG_LRS, out_col="string_id")
+    return out.select(
+        "route", "beg", "end", F.col("string_id").cast("long").alias("string_id")
+    )
+
+
 def q_seg_next_overlapping(spark, sf_dir):
     seg = _seg(spark, sf_dir, 1)
     out = next_overlapping(seg, SEG_LRS, enforce_edges=False, out_col="nov")
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_separate": q_seg_separate,
         "seg_constrain": q_seg_constrain,
         "seg_next_overlapping": q_seg_next_overlapping,
+        "seg_consecutive_strings": q_seg_consecutive_strings,
         "seg_profile_sum": q_seg_profile_sum,
         "seg_split": q_seg_split,
         "point_tiles": q_point_tiles,
@@ -768,6 +781,22 @@ SELECT route, beg, "end",
        coalesce(lead(beg) OVER (PARTITION BY route ORDER BY beg, "end", val) < "end",
                 false) AS nov
 FROM seg
+""",
+        "seg_consecutive_strings": f"""
+WITH {_SEG_SQL},
+segr AS (
+  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val) AS rn FROM seg
+),
+f AS (
+  SELECT route, beg, "end", rn,
+         CASE WHEN lag(route) OVER w = route AND lag("end") OVER w = beg
+              THEN 0 ELSE 1 END AS nr
+  FROM segr WINDOW w AS (ORDER BY rn)
+)
+SELECT route, beg, "end",
+       CAST(sum(nr) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+         AS string_id
+FROM f
 """,
         "point_tiles": f"""
 WITH {_PTS_SQL}
