@@ -5,6 +5,11 @@ From-scratch Spark window re-expressions of
 Python and calls numpy uniqueness/cummax kernels per group; here each is a
 single window pass partitioned by the route key (group loop == hash
 partitioning, no driver iteration).
+
+Scale note: on an UNGROUPED frame these windows degenerate to a single
+partition (the data genuinely is one group — a running max over one
+sequence is inherently sequential). Grouped frames, the 100 TB case,
+distribute by key; keep frames keyed at scale.
 """
 
 from __future__ import annotations

@@ -241,6 +241,29 @@ def with_modified_edges(
     return df.withColumn(out_col, flag)
 
 
+def _next_beg_in_group(df: DataFrame, lrs: LRS):
+    """(df', next-beg column) where next = the next row in collection
+    order within the same group.
+
+    Grouped frames use a route-partitioned ``lead`` window (distributed by
+    key). Ungrouped frames would need an UNPARTITIONED window (single
+    task), so they instead recover the next row by an equi-join on
+    ``event_id + 1`` — requires the dense ids :func:`add_event_id` mints,
+    and stays fully distributed.
+    """
+    if lrs.is_grouped:
+        w = _group_window(lrs, [F.col(EVENT_ID)])
+        return df, F.lead(F.col(lrs.beg_col)).over(w)
+    nxt = df.select(
+        (F.col(EVENT_ID) - 1).alias("_nx_id"),
+        F.col(lrs.beg_col).alias("_nx_beg"),
+    )
+    out = df.join(nxt, on=F.col(EVENT_ID) == F.col("_nx_id"), how="left").drop(
+        "_nx_id"
+    )
+    return out, F.col("_nx_beg")
+
+
 def next_overlapping(
     df: DataFrame, lrs: LRS, enforce_edges: bool = False, out_col: str = "next_overlapping"
 ) -> DataFrame:
@@ -250,10 +273,10 @@ def next_overlapping(
     Row order is raw collection order (event_id), matching direct EventsData
     calls on already-sorted frames.
     """
-    w = _group_window(lrs, [F.col(EVENT_ID)])
-    nxt_beg = F.lead(F.col(lrs.beg_col)).over(w)
+    d, nxt_beg = _next_beg_in_group(df, lrs)
     cmp = nxt_beg <= F.col(lrs.end_col) if enforce_edges else nxt_beg < F.col(lrs.end_col)
-    return df.withColumn(out_col, F.coalesce(cmp, F.lit(False)))
+    out = d.withColumn(out_col, F.coalesce(cmp, F.lit(False)))
+    return out.drop("_nx_beg")
 
 
 def next_consecutive(
@@ -261,9 +284,11 @@ def next_consecutive(
 ) -> DataFrame:
     """Per-row flag: next same-group row begins exactly where this row ends
     (``base.py:879-913``)."""
-    w = _group_window(lrs, [F.col(EVENT_ID)])
-    nxt_beg = F.lead(F.col(lrs.beg_col)).over(w)
-    return df.withColumn(out_col, F.coalesce(nxt_beg == F.col(lrs.end_col), F.lit(False)))
+    d, nxt_beg = _next_beg_in_group(df, lrs)
+    out = d.withColumn(
+        out_col, F.coalesce(nxt_beg == F.col(lrs.end_col), F.lit(False))
+    )
+    return out.drop("_nx_beg")
 
 
 def consecutive_strings(
