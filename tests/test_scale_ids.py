@@ -252,3 +252,32 @@ def test_global_ordinal_stable_on_shuffle_upstream(spark):
     want = edges.withColumn("oid2", F.row_number().over(w).cast("long") - 1)
     j = out.join(want, on=["route", "edge"])
     assert j.where(F.col("oid") != F.col("oid2")).count() == 0
+
+
+def test_resegment_with_hash_source_ids(spark):
+    """Scale path: source event ids from xxhash64 (sparse, possibly
+    negative) must still yield DENSE 0..n-1 output ids ordered by source
+    id — the prefix sum only needs unique orderable longs."""
+    from linref_spark.events.modify import resegment
+
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    df = spark.createDataFrame(
+        [("A", 0.0, 10.0), ("A", 20.0, 25.0), ("B", 0.0, 7.0)],
+        "route string, beg double, end double",
+    ).withColumn("event_id", F.xxhash64("route", "beg"))
+    out = resegment(df, lrs, length=4.0, fill="cut")
+    rows = out.collect()
+    n = len(rows)
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(n))
+    # ids ordered by (source_id, position): segments of one source are
+    # contiguous and ascending with beg
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_event_id"], []).append((r["event_id"], r["beg"]))
+    for segs in by_src.values():
+        segs.sort()
+        eids = [e for e, _ in segs]
+        begs = [b for _, b in segs]
+        assert eids == list(range(eids[0], eids[0] + len(eids)))
+        assert begs == sorted(begs)
