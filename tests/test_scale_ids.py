@@ -281,3 +281,26 @@ def test_resegment_with_hash_source_ids(spark):
         begs = [b for _, b in segs]
         assert eids == list(range(eids[0], eids[0] + len(eids)))
         assert begs == sorted(begs)
+
+
+def test_global_ordinal_spreads_skewed_keys(spark):
+    """90% of rows on one route must still spread across range partitions:
+    the range key is the FULL order tuple (route, beg, end), so a hot
+    route distributes by measure — the ordinal has no hot-key funnel."""
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("R"), (F.col("id") % 7).cast("string"))
+        ).alias("route"),
+        (F.col("id") % 9973).cast("double").alias("beg"),
+        (F.col("id") % 9973 + 1).cast("double").alias("end"),
+    )
+    part = df.repartitionByRange(32, F.col("route"), F.col("beg"), F.col("end"))
+    hot_spread = (
+        part.withColumn("_pid", F.spark_partition_id())
+        .where(F.col("route") == "HOT")
+        .select("_pid").distinct().count()
+    )
+    assert hot_spread >= 16  # the hot route spans many partitions
+    out = global_ordinal_id(df, ["route", "beg", "end"], "oid")
+    stats = out.agg(F.min("oid"), F.max("oid"), F.countDistinct("oid")).first()
+    assert tuple(stats) == (0, 19999, 20000)
