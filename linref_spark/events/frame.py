@@ -80,14 +80,19 @@ def global_ordinal_id(
     samples its own boundaries, and reservoir sampling is row-order
     dependent — when the input is itself a shuffle output (randomized
     block-fetch order), two instantiations can draw DIFFERENT boundaries,
-    silently corrupting the offsets. The ``persist`` below makes both
-    branches read one shared InMemoryRelation (one partitioner, computed
-    once; disk-backed at scale); it is what makes the ordinal correct, not
-    an optimization. Pipelines that cannot afford the materialization
-    should mint ids with :func:`hash_event_id` instead.
+    silently corrupting the offsets. The eager ``localCheckpoint`` below
+    makes both branches read one shared materialization (one partitioner,
+    computed exactly once; MEMORY_AND_DISK blocks); it is what makes the
+    ordinal correct, not an optimization. Unlike ``persist`` (whose
+    InMemoryRelation lives in the CacheManager until an explicit
+    unpersist), checkpoint blocks are reference-tracked: once the caller
+    drops the returned DataFrame, the ContextCleaner reclaims them — so
+    iterative pipelines calling dissolve/resegment/integrate repeatedly do
+    not accumulate session-lifetime cache entries
+    (tests/test_scale_ids.py::test_ordinal_storage_reclaimed). Pipelines
+    that cannot afford the materialization should mint ids with
+    :func:`hash_event_id` instead.
     """
-    from pyspark import StorageLevel
-
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
         # pinned count also keeps AQE from coalescing branches differently
@@ -102,7 +107,7 @@ def global_ordinal_id(
         .withColumn("_ord_pid", F.shiftright(F.col("_ord_mid"), 33))
         .withColumn("_ord_local", F.col("_ord_mid").bitwiseAND(F.lit(mask33)))
         .drop("_ord_mid")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     counts = part.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
     w_off = Window.orderBy("_ord_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -241,7 +246,35 @@ def with_modified_edges(
     return df.withColumn(out_col, flag)
 
 
-def _next_beg_in_group(df: DataFrame, lrs: LRS):
+def assert_dense_ids(df: DataFrame, caller: str) -> None:
+    """Eagerly verify ``event_id`` is a dense 0..n-1 ordinal.
+
+    The id-adjacency operators (``consecutive_strings``, the ungrouped
+    ``next_*`` predicates, ``dissolve(sort=False)``) recover neighbors via
+    an equi-join on ``event_id +/- 1`` — with NON-dense ids (e.g. minted by
+    :func:`hash_event_id` or ``integrate(dense_ids=False)``) that join
+    silently matches nothing and every row looks like a run start. This
+    guard turns that silent wrong answer into an error at the cost of one
+    narrow aggregation pass; hot paths that KNOW their ids came from
+    :func:`add_event_id` can skip it with ``check_dense=False``.
+    """
+    row = df.agg(
+        F.min(F.col(EVENT_ID)).alias("mn"),
+        F.max(F.col(EVENT_ID)).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if row["n"] == 0:
+        return
+    if row["mn"] != 0 or row["mx"] != row["n"] - 1:
+        raise ValueError(
+            f"{caller} requires dense 0..n-1 event ids (got min={row['mn']}, "
+            f"max={row['mx']}, n={row['n']}). Mint ids with add_event_id "
+            "(hash_event_id / integrate(dense_ids=False) ids are not dense); "
+            "pass check_dense=False only when density is already guaranteed."
+        )
+
+
+def _next_beg_in_group(df: DataFrame, lrs: LRS, check_dense: bool = True):
     """(df', next-beg column) where next = the next row in collection
     order within the same group.
 
@@ -254,6 +287,8 @@ def _next_beg_in_group(df: DataFrame, lrs: LRS):
     if lrs.is_grouped:
         w = _group_window(lrs, [F.col(EVENT_ID)])
         return df, F.lead(F.col(lrs.beg_col)).over(w)
+    if check_dense:
+        assert_dense_ids(df, "ungrouped next_* predicate")
     nxt = df.select(
         (F.col(EVENT_ID) - 1).alias("_nx_id"),
         F.col(lrs.beg_col).alias("_nx_beg"),
@@ -265,7 +300,8 @@ def _next_beg_in_group(df: DataFrame, lrs: LRS):
 
 
 def next_overlapping(
-    df: DataFrame, lrs: LRS, enforce_edges: bool = False, out_col: str = "next_overlapping"
+    df: DataFrame, lrs: LRS, enforce_edges: bool = False,
+    out_col: str = "next_overlapping", check_dense: bool = True,
 ) -> DataFrame:
     """Per-row flag: does this row overlap the next row (same group)?
 
@@ -273,18 +309,19 @@ def next_overlapping(
     Row order is raw collection order (event_id), matching direct EventsData
     calls on already-sorted frames.
     """
-    d, nxt_beg = _next_beg_in_group(df, lrs)
+    d, nxt_beg = _next_beg_in_group(df, lrs, check_dense)
     cmp = nxt_beg <= F.col(lrs.end_col) if enforce_edges else nxt_beg < F.col(lrs.end_col)
     out = d.withColumn(out_col, F.coalesce(cmp, F.lit(False)))
     return out.drop("_nx_beg")
 
 
 def next_consecutive(
-    df: DataFrame, lrs: LRS, out_col: str = "next_consecutive"
+    df: DataFrame, lrs: LRS, out_col: str = "next_consecutive",
+    check_dense: bool = True,
 ) -> DataFrame:
     """Per-row flag: next same-group row begins exactly where this row ends
     (``base.py:879-913``)."""
-    d, nxt_beg = _next_beg_in_group(df, lrs)
+    d, nxt_beg = _next_beg_in_group(df, lrs, check_dense)
     out = d.withColumn(
         out_col, F.coalesce(nxt_beg == F.col(lrs.end_col), F.lit(False))
     )
@@ -292,7 +329,8 @@ def next_consecutive(
 
 
 def consecutive_strings(
-    df: DataFrame, lrs: LRS, out_col: str = "string_id", bucket_bits: int = 20
+    df: DataFrame, lrs: LRS, out_col: str = "string_id", bucket_bits: int = 20,
+    check_dense: bool = True,
 ) -> DataFrame:
     """Run id of chained (end == next beg, same group) events.
 
@@ -309,7 +347,13 @@ def consecutive_strings(
       from a cumulative sum over the (n / 2^bucket_bits)-row bucket-total
       table. At 10^12 rows the bucket table is ~10^6 rows — the only
       single-task stage touches that tiny table.
+
+    ``check_dense=True`` (default) verifies the density precondition with
+    one cheap aggregation; non-dense ids would otherwise silently make
+    every row a run start.
     """
+    if check_dense:
+        assert_dense_ids(df, "consecutive_strings")
     prev_cols = [
         (F.col(EVENT_ID) + 1).alias("_pv_id"),
         F.col(lrs.end_col).alias("_pv_end"),

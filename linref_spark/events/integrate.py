@@ -85,15 +85,34 @@ def integrate(
     if dense_ids:
         # dense interval ids in canonical order (linref's positional
         # index) — distributed ordinal, no single-task global window
-        # (intervals are disjoint per key, so (keys, beg) is total)
+        # (intervals are disjoint per key, so (keys, beg) is total).
+        # global_ordinal_id already localCheckpoints its shuffle output, so
+        # the per-layer relate-backs below recompute only a broadcast join
+        # + projection on top of materialized blocks — no extra checkpoint.
         intervals = global_ordinal_id(intervals, [*keys, "beg"], EVENT_ID)
     else:
         # scale path: the id only keys the relate-back join — a hash of
-        # the unique (keys, beg) is enough (zero sort, zero persist)
+        # the unique (keys, beg) is enough (zero sort, zero persist).
+        # 128-bit md5 of the natural tuple: at the 10^12-row target a
+        # 64-bit hash expects ~tens of thousands of birthday-colliding
+        # pairs, which would silently conflate unrelated intervals in the
+        # relate-back; 2^128 makes collisions negligible. The separator
+        # byte keeps concat_ws injective for the key tuple.
         intervals = intervals.withColumn(
-            EVENT_ID, F.xxhash64(*[F.col(k) for k in keys], F.col("beg"))
+            EVENT_ID,
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.col(k).cast("string") for k in keys],
+                    F.col("beg").cast("string"),
+                )
+            ),
         )
-    intervals = intervals.cache()
+        # reference-tracked materialization (reused by every layer's
+        # relate-back below); unlike .cache() this does not pin a
+        # CacheManager entry for the session lifetime — blocks are
+        # reclaimed when the caller drops the plan
+        intervals = intervals.localCheckpoint(eager=True)
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------

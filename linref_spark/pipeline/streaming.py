@@ -9,12 +9,14 @@ the streaming equivalents of its hot aggregations:
   tile (the raster rollup, continuously);
 - :func:`stream_sessionize` — per-route session windows over event gaps
   (the streaming analogue of dissolve's sessionization);
-- :func:`stream_dissolve_intervals` — a CUSTOM stateful operator
-  (``applyInPandasWithState``): per-route incremental union of measure
-  intervals — the true streaming ``dissolve``, maintaining the merged
-  disjoint-span set as typed state and re-emitting a route's spans
-  whenever they change. State is bounded by spans-per-route (merging keeps
-  it compact: heavy overlap collapses to few spans).
+- :func:`stream_union_intervals` — a CUSTOM stateful operator
+  (``applyInPandasWithState``): per-route incremental coverage UNION of
+  measure intervals, maintaining the merged disjoint-span set as typed
+  state and re-emitting a route's spans whenever they change. State is
+  bounded by spans-per-route (merging keeps it compact: heavy overlap
+  collapses to few spans). Deliberately named *union*, not *dissolve*:
+  batch ``dissolve`` chains only exactly-touching events, this merges any
+  overlap — see the docstring for when the two coincide.
 
 Both are pure DataFrame transforms over a streaming frame: callers own the
 source (`spark.readStream.schema(...).parquet(dir)`, Kafka, rate) and sink
@@ -76,23 +78,27 @@ def stream_sessionize(
     )
 
 
-def stream_dissolve_intervals(
+def stream_union_intervals(
     events: DataFrame,
     key_col: str = "route_id",
     beg_col: str = "beg",
     end_col: str = "end",
 ) -> DataFrame:
-    """Streaming coverage dissolve: per-key incremental UNION of [beg, end]
+    """Streaming coverage union: per-key incremental UNION of [beg, end]
     measure intervals via ``applyInPandasWithState``.
 
     Merges touching-or-overlapping intervals (``beg <= prev_end``) — the
-    coverage-union semantics, which equal batch ``dissolve`` whenever
-    events do not partially overlap (the common LRS case; batch dissolve
-    chains only exactly-touching events and keeps overlapping events as
-    separate runs, a distinction that would require unbounded per-key
-    state to reproduce incrementally). Each micro-batch folds its rows
-    into the key's merged-span state and emits the key's CURRENT spans
-    (update output mode). ``n_events`` counts all events folded so far.
+    coverage-union semantics. NOT the same operator as batch
+    :func:`linref_spark.events.modify.dissolve`: batch dissolve chains
+    only exactly-touching events (``end == next beg``) and keeps partially
+    overlapping events as separate runs, a distinction that would require
+    unbounded per-key state to reproduce incrementally. The two COINCIDE
+    exactly when no events partially overlap (the common LRS case) —
+    tests/test_streaming.py asserts both the parity on a chains-only feed
+    and the documented divergence on a partial-overlap feed. Each
+    micro-batch folds its rows into the key's merged-span state and emits
+    the key's CURRENT spans (update output mode). ``n_events`` counts all
+    events folded so far.
 
     Scale shape: state per key is (spans x 2 doubles + 1 long) — bounded
     and typically tiny because merging collapses overlap; the stateful

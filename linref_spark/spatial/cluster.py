@@ -102,11 +102,20 @@ def cluster(
     enforce_edges: Optional[bool] = None,
     strategy: JoinStrategy = EQUI,
     dense_labels: bool = True,
+    max_broadcast_components: int = 1_000_000,
 ) -> DataFrame:
     """Proximity clustering (``ext/base.py:2846-2970``); adds ``name``
     (long, dense 0-based labels in first-occurrence order). Pass
     ``dense_labels=False`` to keep raw min-event-id labels (skips the
-    relabel join entirely; labels stay unique and stable, just not dense)."""
+    relabel join entirely; labels stay unique and stable, just not dense).
+
+    The dense relabel joins the distinct-component table back to the rows;
+    with sparse edges that table approaches the row count, so broadcasting
+    it unconditionally could OOM at exactly the scale this targets. A
+    bounded ``limit(n+1).count()`` probe (mirroring
+    ``project_points_broadcast``'s max_routes guard) picks broadcast only
+    when the component count is at most ``max_broadcast_components``;
+    above it the relabel falls back to a plain shuffle join."""
     if max_gap < 0:
         raise ValueError("max_gap must be non-negative.")
 
@@ -154,7 +163,13 @@ def cluster(
     # ordinal — no unpartitioned dense_rank over the full table.
     comps = labeled.select(F.col("_comp").alias("_c")).distinct()
     comps = global_ordinal_id(comps, ["_c"], "_dense")
-    out = labeled.join(F.broadcast(comps), on=F.col("_comp") == F.col("_c"))
+    small = (
+        comps.limit(max_broadcast_components + 1).count()
+        <= max_broadcast_components
+    )
+    out = labeled.join(
+        F.broadcast(comps) if small else comps, on=F.col("_comp") == F.col("_c")
+    )
     return out.withColumn(name, F.col("_dense").cast("long")).drop(
         "_comp", "_c", "_dense"
     )

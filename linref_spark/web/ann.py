@@ -59,6 +59,21 @@ def cosine(a: Column, b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _guard_query_broadcast(queries: DataFrame, max_queries: int, caller: str) -> None:
+    """Refuse to broadcast an oversized query table (bounded ``limit(n+1)``
+    count, mirroring ``project_points_broadcast``'s max_routes guard —
+    spatial/join.py). The top-k functions broadcast the query side by
+    design ("small query set"); an unbounded broadcast would OOM the
+    driver/executors silently at scale."""
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"{caller}: query table exceeds max_queries={max_queries}; "
+            "broadcasting it would risk an OOM. Use ivf_topk (inverted-list "
+            "candidate join) for large query sets, or raise max_queries "
+            "explicitly if the rows are known to be narrow."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,13 +81,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k by cosine; excludes self-matches on equal ids.
 
     Output: (query_id, neighbor_id, rank, cos). Deterministic tie-break by
     neighbor id. Queries are broadcast (keep the query set small; fan the
-    corpus, not the queries).
+    corpus, not the queries) — guarded by ``max_queries``; oversized query
+    sets raise with a pointer at :func:`ivf_topk`.
     """
+    _guard_query_broadcast(queries, max_queries, "cosine_topk")
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
     )
@@ -200,6 +218,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_queries: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k: score candidates sharing ANY signature band.
 
@@ -207,7 +226,10 @@ def lsh_topk(
     largest of 4/3/2/1 dividing n_planes). Recall grows with bands (more
     independent chances to collide) and falls with rows_per_band (stricter
     agreement per chance) — the same dial as minhash LSH banding.
+    Queries are broadcast — guarded by ``max_queries`` (see
+    :func:`ivf_topk` for large query sets).
     """
+    _guard_query_broadcast(queries, max_queries, "lsh_topk")
     if bands is None:
         bands = _default_bands(n_planes)
     if n_planes % bands:
@@ -315,6 +337,11 @@ def lsh_bucket_metrics(
     (lsh_band, n_buckets, n_dropped_buckets, n_dropped_rows)."""
     if bands is None:
         bands = _default_bands(n_planes)
+    if n_planes % bands:
+        # same contract as cosine_neardup_pairs/lsh_topk: a non-dividing
+        # bands value would silently audit DIFFERENT bucketing than the
+        # pairs function this claims to mirror
+        raise ValueError("n_planes must be divisible by bands")
     rows = n_planes // bands
     b = with_lsh_bands(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
@@ -449,7 +476,11 @@ def ivf_topk(
     ).select(
         query_id_col, "_qv", F.explode(assignp(F.col("_qv"))).alias("_cid")
     )
-    cand = cb.join(F.broadcast(qb), on="_cid").where(
+    # unlike the brute/LSH top-k, a big query set is SUPPORTED here: fall
+    # back to a plain shuffle equi-join on centroid id when the query table
+    # is too large to broadcast (bounded probe, no collect either way)
+    q_small = queries.limit(1_000_001).count() <= 1_000_000
+    cand = cb.join(F.broadcast(qb) if q_small else qb, on="_cid").where(
         F.col("neighbor_id") != F.col(query_id_col)
     )
     cand = cand.withColumn(

@@ -304,3 +304,59 @@ def test_global_ordinal_spreads_skewed_keys(spark):
     out = global_ordinal_id(df, ["route", "beg", "end"], "oid")
     stats = out.agg(F.min("oid"), F.max("oid"), F.countDistinct("oid")).first()
     assert tuple(stats) == (0, 19999, 20000)
+
+
+def test_ordinal_storage_reclaimed(spark):
+    """global_ordinal_id materializes via localCheckpoint, whose blocks are
+    reference-tracked: repeated dissolve/resegment calls must not accumulate
+    session-lifetime storage entries (the round-2 .persist() leaked one
+    MEMORY_AND_DISK InMemoryRelation per call, forever)."""
+    import gc
+    import time
+
+    from linref_spark.events.frame import add_event_id
+    from linref_spark.events.modify import dissolve, resegment
+    from linref_spark.lrs import LRS
+
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    rows = [(r, float(b), float(b + 2)) for r in range(5) for b in range(0, 40, 2)]
+    base = spark.createDataFrame(rows, "route int, beg double, end double")
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    for _ in range(6):
+        out = resegment(dissolve(add_event_id(base, lrs), lrs), lrs, length=3.0)
+        assert out.count() > 0
+        del out
+
+    # drop python refs -> JVM refs -> ContextCleaner reclaims the blocks
+    # (python gc must run in the loop: py4j detaches JVM refs on PY gc, and
+    # intermediate wrappers may become collectable only after earlier
+    # detaches land)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if n_persistent() <= 4:
+            break
+        time.sleep(1.0)
+    # 6 iterations x 3 ordinal calls each would have left ~18 pinned
+    # entries under the old persist(); reference tracking keeps it bounded
+    assert n_persistent() <= 4, n_persistent()
+
+
+def test_consecutive_strings_rejects_hashed_ids(spark):
+    """ADVICE r02: the id-adjacency join silently degrades on non-dense ids
+    (every row looks like a run start) — the guard must make that loud."""
+    import pytest as _pytest
+
+    from linref_spark.events.frame import consecutive_strings, hash_event_id
+    from linref_spark.lrs import LRS
+
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    rows = [(0, 0.0, 2.0), (0, 2.0, 4.0), (1, 0.0, 3.0)]
+    df = spark.createDataFrame(rows, "route int, beg double, end double")
+    hashed = hash_event_id(df, ["route", "beg"])
+    with _pytest.raises(ValueError, match="dense 0..n-1"):
+        consecutive_strings(hashed, lrs).collect()

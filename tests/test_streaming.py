@@ -80,13 +80,13 @@ def test_stream_sessionize(spark, event_dir, tmp_path):
     assert all(v == 2 for v in per_route.values())
 
 
-def test_stream_dissolve_intervals_matches_batch(spark, tmp_path):
+def test_stream_union_intervals_matches_batch(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): the final
     per-route spans must equal the batch dissolve of all events."""
     from linref_spark.events.frame import add_event_id
     from linref_spark.events.modify import dissolve
     from linref_spark.lrs import LRS
-    from linref_spark.pipeline.streaming import stream_dissolve_intervals
+    from linref_spark.pipeline.streaming import stream_union_intervals
 
     rows = []
     # unique touching chains per route (no partial overlap, so streaming
@@ -103,7 +103,7 @@ def test_stream_dissolve_intervals_matches_batch(spark, tmp_path):
     batch_df.exceptAll(batch_df.limit(60)).write.mode("append").parquet(path)
 
     stream = spark.readStream.schema(batch_df.schema).parquet(path)
-    out = stream_dissolve_intervals(stream)
+    out = stream_union_intervals(stream)
     q = (
         out.writeStream.format("memory")
         .queryName("iv_stream")
@@ -131,3 +131,47 @@ def test_stream_dissolve_intervals_matches_batch(spark, tmp_path):
         want[r["route_id"]].append((r["beg"], r["end"]))
     for k in want:
         assert sorted(set(latest[k])) == sorted(want[k]), k
+
+
+def test_stream_union_diverges_from_batch_dissolve_on_partial_overlap(
+    spark, tmp_path
+):
+    """Documented divergence: batch dissolve chains only exactly-touching
+    events, stream_union_intervals merges ANY overlap — on a partial-overlap
+    feed the stream emits ONE covering span while batch keeps separate runs."""
+    from linref_spark.events.frame import add_event_id
+    from linref_spark.events.modify import dissolve
+    from linref_spark.lrs import LRS
+    from linref_spark.pipeline.streaming import stream_union_intervals
+
+    rows = [("R0", 0.0, 5.0), ("R0", 3.0, 9.0), ("R0", 8.0, 12.0)]
+    batch_df = spark.createDataFrame(rows, "route_id string, beg double, end double")
+    path = str(tmp_path / "ov_events")
+    batch_df.write.parquet(path)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    q = (
+        stream_union_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("ov_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ov"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["beg"], r["end"])
+        for r in spark.table("ov_stream").collect()
+        if r["n_events"] == 3
+    }
+    assert got == {(0.0, 12.0)}  # coverage union: one merged span
+
+    lrs = LRS(key_cols=("route_id",), beg_col="beg", end_col="end")
+    batch = {
+        (r["beg"], r["end"])
+        for r in dissolve(add_event_id(batch_df, lrs), lrs).collect()
+    }
+    # batch dissolve: nothing exactly touches, so all three events survive
+    assert batch == {(0.0, 5.0), (3.0, 9.0), (8.0, 12.0)}
+    assert got != batch

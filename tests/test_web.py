@@ -245,3 +245,36 @@ def test_ivf_topk_recall(spark):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ann_query_broadcast_guard(spark):
+    """Oversized query sets must raise (bounded probe) instead of silently
+    broadcasting — mirror of project_points_broadcast's max_routes guard."""
+    import pytest as _pytest
+
+    from linref_spark.web.ann import cosine_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(emb, emb, k=2, max_queries=5)
+    with _pytest.raises(ValueError, match="max_queries"):
+        lsh_topk(emb, emb, dim=2, k=2, n_planes=8, max_queries=5)
+    # within bounds still works
+    q = emb.where("vec_id < 3")
+    assert cosine_topk(emb, q, k=2, max_queries=5).count() == 6
+
+
+def test_lsh_bucket_metrics_bands_divisibility(spark):
+    """ADVICE r02: the audit must enforce the same n_planes % bands
+    contract as the pairs functions it mirrors."""
+    import pytest as _pytest
+
+    from linref_spark.web.ann import lsh_bucket_metrics
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        lsh_bucket_metrics(emb, dim=2, n_planes=16, bands=5)
