@@ -10,6 +10,7 @@ grid tiling for spatial joins — plus the web-scale text-pipeline operators
 """
 
 from linref_spark.lrs import LRS, EVENT_ID
+from linref_spark.frame import LinrefFrame, LinrefRelation, wrap
 
-__all__ = ["LRS", "EVENT_ID"]
+__all__ = ["LRS", "EVENT_ID", "LinrefFrame", "LinrefRelation", "wrap"]
 __version__ = "0.1.0"

@@ -7,6 +7,12 @@ mileage conservation, resegment bounds/contiguity, relate count total = 20,
 HIN distribute conservation ~= 20, crash-proximity sanity). Data files are
 the reference's fixture data (GeoJSON/CSV), loaded with the stdlib — no
 reference code involved.
+
+Round 3: the whole suite drives through the :class:`linref_spark.wrap`
+accessor facade — the same chained UX the reference exposes as ``df.lr.*``
+(``linref/ext/base.py:30``) — asserting the facade delegates every operator
+correctly; the assertions themselves are unchanged from the free-function
+version.
 """
 
 from __future__ import annotations
@@ -17,20 +23,9 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from linref_spark.events.frame import add_event_id
-from linref_spark.events.modify import dissolve, resegment
-from linref_spark.geometry.udfs import add_geom_m
-from linref_spark.lrs import LRS
-from linref_spark.relate import agg as A
-from linref_spark.relate.distribute import distribute
-from linref_spark.relate.join import intersect_pairs, overlay_pairs
-from linref_spark.spatial.join import project_points_tiled
+from linref_spark import wrap
 
 DATA = "/root/reference/linref/datasets/_data"
-
-ROADS_LRS = LRS(key_cols=("route",), beg_col="beg", end_col="end", closed="left_mod")
-CRASH_LRS = LRS(key_cols=("route",), loc_col="loc", closed="left_mod")
-PAVE_LRS = LRS(key_cols=("route",), beg_col="beg", end_col="end", closed="left_mod")
 
 
 @pytest.fixture(scope="module")
@@ -51,8 +46,9 @@ def roads(spark):
         rows,
         ["route", "beg", "end", "traffic_volume", "speed_limit", "geom_xs", "geom_ys"],
     )
-    df = add_event_id(df, ROADS_LRS)
-    return add_geom_m(df, ROADS_LRS).cache()
+    lf = wrap(df, key_cols=("route",), beg_col="beg", end_col="end",
+              closed="left_mod")
+    return lf.add_geom_m().cache()
 
 
 @pytest.fixture(scope="module")
@@ -69,7 +65,7 @@ def crashes(spark):
     df = spark.createDataFrame(
         rows, ["crash_id", "route", "loc", "severity", "mode", "x", "y"]
     )
-    return add_event_id(df, CRASH_LRS).cache()
+    return wrap(df, key_cols=("route",), loc_col="loc", closed="left_mod").cache()
 
 
 @pytest.fixture(scope="module")
@@ -83,7 +79,8 @@ def pavement(spark):
     df = spark.createDataFrame(
         rows, ["route", "beg", "end", "condition_rating", "surface_type"]
     )
-    return add_event_id(df, PAVE_LRS).cache()
+    return wrap(df, key_cols=("route",), beg_col="beg", end_col="end",
+                closed="left_mod").cache()
 
 
 def test_dataset_shapes(roads, crashes, pavement):
@@ -91,28 +88,29 @@ def test_dataset_shapes(roads, crashes, pavement):
     assert roads.count() == 10
     assert crashes.count() == 20
     assert pavement.count() == 14
-    r = {x.route for x in roads.select("route").distinct().collect()}
-    c = {x.route for x in crashes.select("route").distinct().collect()}
-    p = {x.route for x in pavement.select("route").distinct().collect()}
+    r = {x.route for x in roads.df.select("route").distinct().collect()}
+    c = {x.route for x in crashes.df.select("route").distinct().collect()}
+    p = {x.route for x in pavement.df.select("route").distinct().collect()}
     assert r == c == p
 
 
 def test_dissolve_and_resegment(spark, roads):
-    # test_integration.py:84-122
-    dissolved = dissolve(roads, ROADS_LRS)
+    # test_integration.py:84-122 — one facade chain end-to-end
+    dissolved = roads.dissolve()
     assert dissolved.count() == 3
-    orig = roads.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
-    diss = dissolved.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
+    orig = roads.df.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
+    diss = dissolved.df.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
     assert diss == pytest.approx(orig, abs=1e-6)
 
-    reseg = resegment(dissolved, ROADS_LRS, length=5.0, fill="cut")
-    tot = reseg.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
+    reseg = roads.dissolve().resegment(length=5.0, fill="cut")
+    tot = reseg.df.agg(F.sum(F.col("end") - F.col("beg"))).first()[0]
     assert tot == pytest.approx(orig, abs=1e-6)
-    assert reseg.agg(F.max(F.col("end") - F.col("beg"))).first()[0] <= 5.0 + 1e-9
+    assert reseg.df.agg(F.max(F.col("end") - F.col("beg"))).first()[0] <= 5.0 + 1e-9
     # contiguity within routes
     for route in ("US-101", "SR-1", "I-5"):
         sub = sorted(
-            (r.beg, r.end) for r in reseg.where(F.col("route") == route).collect()
+            (r.beg, r.end)
+            for r in reseg.where(F.col("route") == route).collect()
         )
         for (b1, e1), (b2, e2) in zip(sub, sub[1:]):
             assert b2 == pytest.approx(e1)
@@ -120,38 +118,24 @@ def test_dissolve_and_resegment(spark, roads):
 
 def test_relate_count_preserves_crashes(spark, roads, crashes):
     # test_integration.py: count().sum() == 20 for full-coverage segmentation
-    dissolved = dissolve(roads, ROADS_LRS)
-    reseg = add_event_id(
-        resegment(dissolved, ROADS_LRS, length=5.0, fill="cut").drop("event_id"),
-        ROADS_LRS,
-    )
-    pairs = intersect_pairs(reseg, crashes, ROADS_LRS, CRASH_LRS)
-    counted = A.agg_count(pairs, reseg, out_col="n")
-    assert counted.agg(F.sum("n")).first()[0] == 20
+    reseg = roads.dissolve().resegment(length=5.0, fill="cut")
+    counted = reseg.relate(crashes).count(out_col="n")
+    assert counted.df.agg(F.sum("n")).first()[0] == 20
 
 
 def test_hin_workflow(spark, roads, crashes):
-    # test_integration.py:333-369
-    dissolved = dissolve(roads, ROADS_LRS)
-    reseg = add_event_id(
-        resegment(dissolved, ROADS_LRS, length=0.5, fill="cut").drop("event_id"),
-        ROADS_LRS,
-    )
-    pairs = intersect_pairs(reseg, crashes, ROADS_LRS, CRASH_LRS)
-    scored = distribute(
-        pairs, reseg, crashes, ROADS_LRS, CRASH_LRS,
-        decay_size=2, decay_func="linear",
-    )
+    # test_integration.py:333-369 — the flagship chain:
+    # dissolve -> resegment -> relate -> distribute, all through the facade
+    reseg = roads.dissolve().resegment(length=0.5, fill="cut").cache()
+    rel = reseg.relate(crashes).cache()
+    scored = rel.distribute(decay_size=2, decay_func="linear")
     n_seg = reseg.count()
     rows = scored.collect()
     assert len(rows) == n_seg
     assert all(r.distributed >= -1e-12 for r in rows)
     assert sum(r.distributed for r in rows) == pytest.approx(20.0, abs=1e-4)
 
-    counted = {
-        r.event_id: r.n
-        for r in A.agg_count(pairs, reseg, out_col="n").collect()
-    }
+    counted = {r.event_id: r.n for r in rel.count(out_col="n").collect()}
     assert sum(counted.values()) == 20
     scores = {r.event_id: r.distributed for r in rows}
     with_crash = [scores[k] for k, v in counted.items() if v > 0]
@@ -161,13 +145,14 @@ def test_hin_workflow(spark, roads, crashes):
 
 def test_pavement_overlay_mean(spark, roads, pavement):
     # linear x linear conflation: length-weighted mean condition per road
-    pairs = overlay_pairs(roads, pavement, ROADS_LRS, PAVE_LRS, norm_by="right")
-    out = A.agg_mean(pairs, roads, pavement, "condition_rating", out_col="rating")
+    out = roads.relate(pavement, how="overlay", norm_by="right").mean(
+        "condition_rating", out_col="rating"
+    )
     rows = out.collect()
     assert all(r.rating is not None for r in rows)
     # ratings bounded by the source domain
-    lo = pavement.agg(F.min("condition_rating")).first()[0]
-    hi = pavement.agg(F.max("condition_rating")).first()[0]
+    lo = pavement.df.agg(F.min("condition_rating")).first()[0]
+    hi = pavement.df.agg(F.max("condition_rating")).first()[0]
     assert all(lo - 1e-9 <= r.rating <= hi + 1e-9 for r in rows)
 
 
@@ -175,21 +160,33 @@ def test_spatial_projection_recovers_locs(spark, roads, crashes):
     # project crash points onto the road network; recovered mileposts
     # should match the recorded loc column (crash geometry was generated
     # on-route in the reference fixtures)
-    merged = dissolve(roads, ROADS_LRS)
-    # dissolved frame has no geometry; project against original parts
-    out = project_points_tiled(
-        roads, crashes, ROADS_LRS, buffer=0.25, res=10,
-        x_col="x", y_col="y",
-    )
+    out = roads.project(crashes.df, buffer=0.25, res=10, x_col="x", y_col="y")
     # crashes carry their own 'route' column -> suffixed to route_point;
     # 'route' in the output is the matched route
     got = {r.crash_id: (r.route, r.loc_mp, r.loc) for r in out.collect()}
-    matched_routes_ok = all(
-        r.route == r.route_point for r in out.collect()
-    )
+    matched_routes_ok = all(r.route == r.route_point for r in out.collect())
     assert matched_routes_ok
     assert len(got) == 20
     matches = sum(
         1 for route, loc_mp, loc in got.values() if abs(loc_mp - loc) < 0.15
     )
     assert matches >= 16  # most crashes sit on their recorded milepost
+
+
+def test_facade_roundtrips_and_lrs_tracking(spark, crashes, pavement):
+    # extend on a point frame yields a linear frame (loc +/- d)
+    buffered = crashes.extend(0.5)
+    assert buffered.lrs.is_linear and buffered.lrs.is_located
+    spans = buffered.df.select("beg", "end", "loc").first()
+    assert spans.beg == pytest.approx(spans.loc - 0.5)
+    assert spans.end == pytest.approx(spans.loc + 0.5)
+    # point_to_linear tracks the new roles too
+    aslin = crashes.point_to_linear()
+    assert aslin.lrs.beg_col == "beg" and not aslin.lrs.is_point
+    # transpose aggregates onto the other side
+    rel = pavement.relate(crashes)
+    onto_crashes = rel.T.count(out_col="n_segs")
+    assert onto_crashes.count() == crashes.count()
+    # geometry_sync default rides the facade: shifting a frame with geom_m
+    # drops the geometry column under the default 'drop' policy
+    assert crashes.shift(1.0).lrs.loc_col == "loc"
