@@ -232,7 +232,9 @@ def q_seg_distribute(spark, sf_dir):
 
 
 def q_pts_cluster(spark, sf_dir):
-    # rows-only check (iterative connected components)
+    """Proximity clustering: 1-D connected components ARE SQL-expressible
+    (runs of sorted gaps < 2*max_gap), so the oracle replays the whole
+    pipeline: run detection -> component = min event id -> dense labels."""
     pts = _pts(spark, sf_dir)
     sample = pts.where(F.col("route") < 10)
     out = cluster(sample, PTS_LRS, max_gap=1.0)
@@ -279,9 +281,11 @@ def q_docs_fingerprint(spark, sf_dir):
 
 
 def q_docs_minhash_lsh(spark, sf_dir):
-    # rows-only check (xxhash64-based banding has no DuckDB equivalent)
+    """Banded minhash LSH with the cross-engine md5long hash family
+    (dedup.py module docstring) so DuckDB replays the exact same
+    signatures, buckets, and candidate pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    pairs = DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4, hash_name="md5long")
     return pairs.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     )
@@ -299,9 +303,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_docs_simhash(spark, sf_dir):
-    # rows-only check (xxhash64 bit votes have no DuckDB equivalent)
+    """60-bit SimHash with the cross-engine md5long token hash; the oracle
+    replays every bit vote in SQL."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = DD.simhash(docs)
+    out = DD.simhash(docs, hash_name="md5long")
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("simhash").cast("long").alias("simhash"),
@@ -309,13 +314,29 @@ def q_docs_simhash(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    # rows-only check (k-means quantizer training is not SQL-expressible);
-    # pytest gates recall@10 >= 0.9 vs brute force on a clustered corpus
+    """IVF-Flat with FIXED centroids (the L2-normalized embeddings of
+    vec_id % 100 == 3, lowest 32) so DuckDB can replay the quantizer
+    assignment, the n_probe routing, and the exact rescoring. The k-means
+    TRAINING path stays pytest-gated (recall@10 >= 0.9 vs brute force) —
+    training is inherently not SQL-expressible, the serving plan is."""
+    import numpy as np
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
+    crows = (
+        emb.where(F.col("vec_id") % 100 == 3)
+        .orderBy("vec_id")
+        .limit(32)
+        .select("embedding")
+        .collect()
+    )
+    C = np.zeros((len(crows), dim), dtype=np.float64)
+    for ci, r in enumerate(crows):
+        C[ci, :] = np.asarray(r["embedding"], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     queries = emb.where(F.col("vec_id") % 500 == 0)
     out = ANN.ivf_topk(
-        emb, queries, dim=dim, k=5, n_centroids=32, n_probe=8, seed=42
+        emb, queries, dim=dim, k=5, n_probe=4, centroids=C
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -464,6 +485,335 @@ def q_spatial_snap(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 oracle-breadth queries: integer-exact fixtures for the operators
+# that previously had only pytest goldens, plus exact variants of the four
+# formerly rows-only queries
+# ---------------------------------------------------------------------------
+
+
+def _routes3(spark, sf_dir):
+    """3-vertex polyline routes from nation: 3-4-5 then 4-3-5 legs, so
+    cumdist = [0, 5, 10] and ms = [0, 5, 10] are EXACT doubles — every
+    interpolation lands on dyadic fractions both engines compute
+    identically."""
+    from linref_spark.geometry.udfs import add_geom_m
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ax = (F.col("n_nationkey") * 7 % 50).cast("double")
+    ay = (F.col("n_nationkey") * 13 % 50).cast("double")
+    routes = n.select(
+        F.col("n_nationkey").cast("long").alias("rid"),
+        F.lit(0.0).alias("beg"),
+        F.lit(10.0).alias("end"),
+        F.array(ax, ax + 3.0, ax + 7.0).alias("geom_xs"),
+        F.array(ay, ay + 4.0, ay + 1.0).alias("geom_ys"),
+    )
+    rlrs = LRS(key_cols=("rid",), beg_col="beg", end_col="end")
+    routes = add_event_id(routes, order_by=["rid"])
+    return add_geom_m(routes, rlrs), rlrs
+
+
+def q_seg_agg_list_set(spark, sf_dir):
+    """agg_list / agg_set (relate.py:884-967): matched point statuses as a
+    source-order list and a value-sorted distinct set, serialized to
+    strings so the value-hash compare is representation-independent."""
+    seg = _seg(spark, sf_dir, 1)
+    pts = _pts(spark, sf_dir)
+    pairs = intersect_pairs(seg, pts, SEG_LRS, PTS_LRS)
+    out = AGG.agg_list(pairs, seg, pts, "status", axis=1, out_col="_l")
+    out = AGG.agg_set(pairs, out, pts, "status", axis=1, out_col="_s")
+    return out.select(
+        "route", "beg", "end",
+        F.concat_ws(",", F.col("_l")).alias("status_list"),
+        F.concat_ws(",", F.col("_s")).alias("status_set"),
+    )
+
+
+def q_seg_duplicated(spark, sf_dir):
+    """duplicated (analyze.py:4-87): keep='none' over begs + keep='last'
+    over (begs, ends)."""
+    seg = _seg(spark, sf_dir, 1)
+    out = AN.duplicated(seg, SEG_LRS, subset=["begs"], keep="none", out_col="dup_any")
+    out = AN.duplicated(out, SEG_LRS, keep="last", out_col="dup_last")
+    return out.select("route", "beg", "end", "val", "dup_any", "dup_last")
+
+
+def q_seg_extend_shift_round(spark, sf_dir):
+    """extend -> shift -> round_measures chain (modify.py:182-304); factor
+    rounding lands on non-tie fractions (.375/.875) so HALF_UP vs
+    half-away never diverges."""
+    seg = _seg(spark, sf_dir, 1)
+    out = MOD.extend(seg, SEG_LRS, begin_by=2.0, end_by=3.0)
+    out = MOD.shift(out, SEG_LRS, 0.75)
+    out = MOD.round_measures(out, SEG_LRS, factor=2.0)
+    return out.select("route", "beg", "end", "qty")
+
+
+def q_pts_point_to_linear(spark, sf_dir):
+    """point_to_linear (ext/base.py:1239-1307): loc copied into zero-length
+    [beg, end]."""
+    pts = _pts(spark, sf_dir)
+    out = MOD.point_to_linear(pts, PTS_LRS)
+    return out.select("route", "loc", "beg", "end")
+
+
+def q_seg_concatenate(spark, sf_dir):
+    """concatenate (modify.py:102-180): UNION ALL of two tagged layers."""
+    a = _seg(spark, sf_dir, 1).withColumn("src", F.lit(1)).drop("event_id")
+    b = _seg(spark, sf_dir, 2).withColumn("src", F.lit(2)).drop("event_id")
+    out = MOD2.concatenate([a, b])
+    return out.select("route", "beg", "end", "qty", F.col("src").cast("long").alias("src"))
+
+
+def q_seg_impute_first(spark, sf_dir):
+    """impute_keys (ext/base.py:1587-1672): copy the first matching point's
+    status onto each segment (first = lowest source event id)."""
+    from linref_spark.events.constrain import impute_keys
+
+    seg = _seg(spark, sf_dir, 1)
+    pts = _pts(spark, sf_dir)
+    out = impute_keys(seg, pts, SEG_LRS, PTS_LRS, impute_cols=["status"])
+    return out.select("route", "beg", "end", "status")
+
+
+def q_pts_point_point(spark, sf_dir):
+    """intersect_point_point (relate.py:655-706): count of lineitem-derived
+    points at exactly the same (route, loc)."""
+    pts = _pts(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_linenumber") == 3
+    )
+    pts2 = li.select(
+        (F.col("l_suppkey") % 100).alias("route"),
+        ((F.col("l_orderkey") % 1000).cast("double") + 0.5).alias("loc"),
+    )
+    pts2 = add_event_id(pts2, order_by=["route", "loc"])
+    pairs = intersect_pairs(pts, pts2, PTS_LRS, LRS(key_cols=("route",), loc_col="loc"))
+    out = AGG.agg_count(pairs, pts, axis=1, out_col="n_same_loc")
+    return out.select(
+        "route", "loc", "pval", F.col("n_same_loc").cast("long").alias("n_same_loc")
+    )
+
+
+def q_seg_resegment_balance(spark, sf_dir):
+    """resegment fill='balance' (modify.py:306-433): cut when the remainder
+    >= length/2, else extend."""
+    seg = _seg(spark, sf_dir, 1)
+    out = MOD.resegment(seg, SEG_LRS, length=7.0, fill="balance")
+    return out.select("route", "beg", "end", "val")
+
+
+def q_geom_interpolate(spark, sf_dir):
+    """interpolate point at M (operations.py:158-203) on the exact-dyadic
+    3-vertex routes; SQL mirrors the two-leg closed form."""
+    from linref_spark.geometry.udfs import udf_interpolate_m
+
+    routes, _ = _routes3(spark, sf_dir)
+    m = (F.col("rid") % 4).cast("double") * 2.5 + 1.25
+    g = F.col("geom_m")
+    out = routes.withColumn("m_q", m).withColumn(
+        "_p", udf_interpolate_m(g["xs"], g["ys"], g["ms"], F.col("m_q"))
+    )
+    return out.select(
+        "rid",
+        F.round("m_q", 6).alias("m_q"),
+        F.round(F.col("_p.x"), 6).alias("px"),
+        F.round(F.col("_p.y"), 6).alias("py"),
+    )
+
+
+def q_geom_cut(spark, sf_dir):
+    """cut substring between M values (linestring_m.py:513-594): even rids
+    cut within one leg (2 output vertices), odd rids span the middle vertex
+    (3 vertices); endpoints are dyadic-exact."""
+    from linref_spark.geometry.udfs import cut_geoms
+
+    routes, _ = _routes3(spark, sf_dir)
+    hi = F.when(F.col("rid") % 2 == 0, F.lit(3.75)).otherwise(F.lit(8.75))
+    cut = cut_geoms(
+        routes.withColumn("_b", F.lit(1.25)).withColumn("_e", hi),
+        "_b", "_e", "geom_m", "cutg",
+    )
+    g = F.col("cutg")
+    return cut.select(
+        "rid",
+        F.size(g["xs"]).cast("long").alias("n_pts"),
+        F.round(F.element_at(g["xs"], 1), 6).alias("x0"),
+        F.round(F.element_at(g["ys"], 1), 6).alias("y0"),
+        F.round(F.element_at(g["xs"], -1), 6).alias("xn"),
+        F.round(F.element_at(g["ys"], -1), 6).alias("yn"),
+    )
+
+
+def q_geom_chains(spark, sf_dir):
+    """line_merge_m chains (merge.py:9-173): 5 parts per route, one
+    deliberate gap -> spans {[0,20] x2 parts, [21,50] x3 parts}."""
+    from linref_spark.geometry.udfs import add_geom_m, line_merge_groups
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    route = (F.col("n_nationkey") % 5).cast("long")
+    p = F.floor(F.col("n_nationkey") / 5).cast("long")
+    x0 = (p * 10).cast("double") + F.when(p == 2, F.lit(1.0)).otherwise(F.lit(0.0))
+    x1 = (p * 10 + 10).cast("double")
+    y = route.cast("double")
+    parts = n.select(
+        route.alias("route"),
+        x0.alias("beg"),
+        x1.alias("end"),
+        F.array(x0, x1).alias("geom_xs"),
+        F.array(y, y).alias("geom_ys"),
+    )
+    plrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    parts = add_geom_m(add_event_id(parts, plrs), plrs)
+    merged = line_merge_groups(parts, plrs)
+    return merged.select(
+        "route",
+        F.round("beg", 6).alias("beg"),
+        F.round("end", 6).alias("end"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+    )
+
+
+def _hv_frame(spark, sf_dir):
+    """25 horizontal + 25 vertical integer-coordinate segments; every
+    crossing is strictly interior (no endpoint-touch ambiguity) and lands
+    on integer (x, y). Event ids: h -> 0..24, v -> 25..49."""
+    from linref_spark.geometry.udfs import geom_m_struct
+    from linref_spark.lrs import EVENT_ID
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    i = F.col("n_nationkey").cast("long")
+    h = n.select(
+        F.lit("h").alias("kind"),
+        i.alias(EVENT_ID),
+        F.array((i % 5 * 2).cast("double"), (i % 5 * 2 + 40).cast("double")).alias("xs"),
+        F.array((i * 2 + 1).cast("double"), (i * 2 + 1).cast("double")).alias("ys"),
+    )
+    v = n.select(
+        F.lit("v").alias("kind"),
+        (i + 25).alias(EVENT_ID),
+        F.array((i % 10 * 2 + 3).cast("double"), (i % 10 * 2 + 3).cast("double")).alias("xs"),
+        F.array(F.lit(0.0), F.lit(50.0)).alias("ys"),
+    )
+    df = h.unionByName(v)
+    zeros = F.transform(F.col("xs"), lambda c: c * 0.0)
+    return df.withColumn("geom_m", geom_m_struct(F.col("xs"), F.col("ys"), zeros))
+
+
+def q_node_pairs(spark, sf_dir):
+    """generate_intersection_pairs (ext/spatial.py:562-670) on the integer
+    H/V grid; same-kind (collinear) pairs excluded via the group key."""
+    from linref_spark.spatial.join import intersection_pairs as geo_pairs
+
+    df = _hv_frame(spark, sf_dir)
+    klrs = LRS(key_cols=("kind",), beg_col="beg", end_col="end")
+    # intersection_pairs only reads key_cols + geom; give it measure
+    # columns purely to satisfy the linear LRS contract
+    df = df.withColumn("beg", F.lit(0.0)).withColumn("end", F.lit(1.0))
+    pairs = geo_pairs(df, klrs)
+    out = pairs.select(
+        "left_id", "right_id", F.explode("points").alias("_p")
+    )
+    return out.select(
+        F.col("left_id").cast("long").alias("a"),
+        F.col("right_id").cast("long").alias("b"),
+        F.round(F.col("_p.x"), 6).alias("x"),
+        F.round(F.col("_p.y"), 6).alias("y"),
+    )
+
+
+def q_node_ordinals(spark, sf_dir):
+    """generate_intersection_nodes (ext/spatial.py:673-743): dedupe crossing
+    points into nodes with distributed-ordinal ids; vertical segments
+    sharing an x merge into multi-source nodes."""
+    from linref_spark.spatial.join import (
+        intersection_nodes,
+        intersection_pairs as geo_pairs,
+    )
+
+    df = _hv_frame(spark, sf_dir)
+    klrs = LRS(key_cols=("kind",), beg_col="beg", end_col="end")
+    df = df.withColumn("beg", F.lit(0.0)).withColumn("end", F.lit(1.0))
+    pairs = geo_pairs(df, klrs)
+    nodes = intersection_nodes(pairs)
+    return nodes.select(
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.col("node_id").cast("long").alias("node_id"),
+        F.size("source_ids").cast("long").alias("n_src"),
+    )
+
+
+def q_seg_clip(spark, sf_dir):
+    """clip_events (ext/base.py:2215-2307): horizontal routes clipped to a
+    rectangle; pieces split at the ring and kept by the covered_by midpoint
+    test. All edges integer-exact (rounded to 6 to absorb locate ulps)."""
+    from linref_spark.geometry.udfs import add_geom_m
+    from linref_spark.spatial.split import clip_events
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rid = F.col("n_nationkey").cast("long")
+    x0 = (rid * 7 % 13).cast("double")
+    yr = (rid * 13 % 30).cast("double") + 0.5
+    routes = n.select(
+        rid.alias("rid"),
+        F.lit(0.0).alias("beg"),
+        F.lit(40.0).alias("end"),
+        F.array(x0, x0 + 40.0).alias("geom_xs"),
+        F.array(yr, yr).alias("geom_ys"),
+    )
+    rlrs = LRS(key_cols=("rid",), beg_col="beg", end_col="end")
+    routes = add_geom_m(add_event_id(routes, order_by=["rid"]), rlrs)
+    out = clip_events(
+        routes, rlrs,
+        polygon_xs=[15.0, 35.0, 35.0, 15.0],
+        polygon_ys=[5.0, 5.0, 25.0, 25.0],
+        keep="inside", predicate="covered_by", cut_geom=False,
+    )
+    return out.select(
+        "rid",
+        F.round("beg", 6).alias("beg"),
+        F.round("end", 6).alias("end"),
+        F.col("split_index").cast("long").alias("split_index"),
+    )
+
+
+def q_wkb_roundtrip(spark, sf_dir):
+    """WKB LINESTRING M codec roundtrip (closes the parse_geoms_m_shapely
+    role, ext/base.py:3381-3425): encode geom_m -> ISO WKB bytes -> decode;
+    the oracle recomputes the endpoints from the closed-form construction,
+    so a byte-layout bug on either leg breaks the match."""
+    from linref_spark.geometry.udfs import udf_geom_m_to_wkb, udf_wkb_to_geom_m
+
+    routes, _ = _routes3(spark, sf_dir)
+    g = F.col("geom_m")
+    enc = routes.withColumn("wkb", udf_geom_m_to_wkb(g["xs"], g["ys"], g["ms"]))
+    dec = enc.withColumn("g2", udf_wkb_to_geom_m(F.col("wkb")))
+    h = F.col("g2")
+    return dec.select(
+        "rid",
+        F.length("wkb").cast("long").alias("n_bytes"),
+        F.round(F.element_at(h["xs"], 1), 6).alias("x0"),
+        F.round(F.element_at(h["ys"], 1), 6).alias("y0"),
+        F.round(F.element_at(h["xs"], -1), 6).alias("xn"),
+        F.round(F.element_at(h["ys"], -1), 6).alias("yn"),
+        F.round(F.element_at(h["ms"], -1), 6).alias("mn"),
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    """with_quality_score (textstats.py): punctuation/digit/uppercase ratio
+    heuristic, mirrored operation-for-operation in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = TS.with_quality_score(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -516,6 +866,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_sessionize": q_events_sessionize,
+        "seg_agg_list_set": q_seg_agg_list_set,
+        "seg_duplicated": q_seg_duplicated,
+        "seg_extend_shift_round": q_seg_extend_shift_round,
+        "pts_point_to_linear": q_pts_point_to_linear,
+        "seg_concatenate": q_seg_concatenate,
+        "seg_impute_first": q_seg_impute_first,
+        "pts_point_point": q_pts_point_point,
+        "seg_resegment_balance": q_seg_resegment_balance,
+        "geom_interpolate": q_geom_interpolate,
+        "geom_cut": q_geom_cut,
+        "geom_chains": q_geom_chains,
+        "node_pairs": q_node_pairs,
+        "node_ordinals": q_node_ordinals,
+        "seg_clip": q_seg_clip,
+        "wkb_roundtrip": q_wkb_roundtrip,
+        "docs_quality": q_docs_quality,
     }
 
 
@@ -557,12 +923,403 @@ SELECT doc_id, h_en AS hits_en, h_es AS hits_es, {pred} AS lang_pred FROM h
 """
 
 
+def _md5long_sql(expr: str, seed: int) -> str:
+    """DuckDB mirror of dedup._hash64(..., 'md5long'): top 60 bits of
+    md5(f"{seed}:{value}") as a positive BIGINT."""
+    return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+def _minhash_sql() -> str:
+    """Replay of minhash_lsh_pairs(num_hashes=16, bands=4, hash_name=
+    'md5long', max_bucket=1000): same shingles, same per-seed mins, same
+    band buckets, same capped self-join."""
+    nh, bands = 16, 4
+    rows = nh // bands
+    hcols = ",\n         ".join(
+        f"min({_md5long_sql('g', i)}) AS m{i}" for i in range(nh)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN n >= 3 THEN
+             list_transform(range(1, n - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [text] END)) AS g
+  FROM t
+),
+sig AS (
+  SELECT doc_id, {hcols}
+  FROM sh GROUP BY doc_id
+),
+bk AS (
+{band_rows}
+),
+ok AS (
+  SELECT band, bucket FROM bk GROUP BY band, bucket HAVING count(*) <= 1000
+),
+pruned AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)),
+p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM pruned x JOIN pruned y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT a, b FROM p
+"""
+
+
+def _simhash_sql() -> str:
+    """Replay of simhash(hash_name='md5long'): 60 per-bit vote sums over
+    whitespace tokens, sign -> packed bigint."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    packed = "\n       + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hh AS (SELECT doc_id, {_md5long_sql('t', 0)} AS hv FROM tok),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM hh GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({packed} AS BIGINT) AS simhash
+FROM v
+"""
+
+
+def _extra_oracle_sql() -> dict[str, str]:
+    segr = (
+        'segr AS (\n  SELECT *, row_number() OVER (ORDER BY route, beg, "end", val)'
+        " - 1 AS rid FROM seg\n)"
+    )
+    ptsr = (
+        "ptsr AS (\n  SELECT *, row_number() OVER (ORDER BY route, loc, pval, status)"
+        " - 1 AS j FROM pts\n)"
+    )
+    on_pred = 'p.route = l.route AND p.loc > l.beg AND p.loc <= l."end"'
+    return {
+        "pts_cluster": f"""
+WITH {_PTS_SQL},
+{ptsr},
+sub AS (SELECT * FROM ptsr WHERE route < 10),
+f AS (
+  SELECT *, CASE WHEN loc - lag(loc) OVER w < 2.0 THEN 0 ELSE 1 END AS nr
+  FROM sub WINDOW w AS (PARTITION BY route ORDER BY loc, j)
+),
+r AS (
+  SELECT *, sum(nr) OVER (PARTITION BY route ORDER BY loc, j
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM f
+),
+comp AS (SELECT *, min(j) OVER (PARTITION BY route, run) AS comp_id FROM r)
+SELECT route, loc,
+       CAST(dense_rank() OVER (ORDER BY comp_id) - 1 AS BIGINT) AS cluster
+FROM comp
+""",
+        "docs_minhash_lsh": _minhash_sql(),
+        "docs_simhash": _simhash_sql(),
+        "ann_ivf_topk": """
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 3 ORDER BY vec_id LIMIT 32)
+),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+asn AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_cosine_similarity(ev, cv) DESC, cid ASC) AS rn
+  FROM corpus, cent
+),
+a1 AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM corpus WHERE vec_id % 500 = 0),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT qp.query_id, a1.vec_id AS neighbor_id
+  FROM qp JOIN a1 ON a1.cid = qp.cid
+  WHERE a1.vec_id <> qp.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(e.ev, q2.qv) DESC,
+                    c.neighbor_id ASC) AS rank
+  FROM cand c
+  JOIN corpus e ON e.vec_id = c.neighbor_id
+  JOIN q q2 ON q2.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+""",
+        "seg_agg_list_set": f"""
+WITH {_SEG_SQL}, {_PTS_SQL},
+{segr},
+{ptsr},
+m AS (
+  SELECT l.rid, p.j, p.status
+  FROM segr l JOIN ptsr p ON {on_pred}
+),
+la AS (
+  SELECT rid,
+         string_agg(status, ',' ORDER BY j) AS status_list,
+         array_to_string(list_sort(list(DISTINCT status)), ',') AS status_set
+  FROM m GROUP BY rid
+)
+SELECT s.route, s.beg, s."end",
+       coalesce(la.status_list, '') AS status_list,
+       coalesce(la.status_set, '') AS status_set
+FROM segr s LEFT JOIN la ON la.rid = s.rid
+""",
+        "seg_duplicated": f"""
+WITH {_SEG_SQL},
+{segr}
+SELECT route, beg, "end", val,
+       (count(*) OVER (PARTITION BY route, beg) > 1) AS dup_any,
+       (row_number() OVER (PARTITION BY route, beg, "end" ORDER BY rid DESC) > 1)
+         AS dup_last
+FROM segr
+""",
+        "seg_extend_shift_round": f"""
+WITH {_SEG_SQL}
+SELECT route,
+       round((beg - 2.0 + 0.75) / 2.0) * 2.0 + 0.0 AS beg,
+       round(("end" + 3.0 + 0.75) / 2.0) * 2.0 + 0.0 AS "end",
+       qty
+FROM seg
+-- "+ 0.0" normalizes IEEE -0.0 (DuckDB round keeps the sign of -0.125;
+-- Spark's BigDecimal HALF_UP never yields negative zero)
+""",
+        "pts_point_to_linear": f"""
+WITH {_PTS_SQL}
+SELECT route, loc, loc AS beg, loc AS "end" FROM pts
+""",
+        "seg_concatenate": f"""
+WITH {_SEG_SQL}, {_SEG2_SQL}
+SELECT route, beg, "end", qty, CAST(1 AS BIGINT) AS src FROM seg
+UNION ALL
+SELECT route, beg, "end", qty, CAST(2 AS BIGINT) AS src FROM seg2
+""",
+        "seg_impute_first": f"""
+WITH {_SEG_SQL}, {_PTS_SQL},
+{segr},
+{ptsr},
+m AS (
+  SELECT l.rid, p.status,
+         row_number() OVER (PARTITION BY l.rid ORDER BY p.j) AS rn
+  FROM segr l JOIN ptsr p ON {on_pred}
+)
+SELECT s.route, s.beg, s."end", f.status
+FROM segr s LEFT JOIN (SELECT rid, status FROM m WHERE rn = 1) f ON f.rid = s.rid
+""",
+        "pts_point_point": f"""
+WITH {_PTS_SQL},
+p2 AS (
+  SELECT l_suppkey % 100 AS route,
+         CAST(l_orderkey % 1000 AS DOUBLE) + 0.5 AS loc
+  FROM lineitem WHERE l_linenumber = 3
+)
+SELECT p.route, p.loc, p.pval,
+       (SELECT count(*) FROM p2 WHERE p2.route = p.route AND p2.loc = p.loc)
+         AS n_same_loc
+FROM pts p
+""",
+        "seg_resegment_balance": f"""
+WITH {_SEG_SQL},
+n AS (
+  SELECT *, greatest(CAST(ceil(("end" - beg) / 7.0) AS BIGINT), 1) AS nseg FROM seg
+),
+d AS (
+  SELECT *, CASE WHEN nseg > 1 AND ("end" - (beg + (nseg - 1) * 7.0)) < 3.5
+                 THEN nseg - 1 ELSE nseg END AS nf
+  FROM n
+)
+SELECT route,
+       beg + i * 7.0 AS beg,
+       CASE WHEN i = nf - 1 THEN "end" ELSE beg + (i + 1) * 7.0 END AS "end",
+       val
+FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) t
+""",
+        "geom_interpolate": """
+WITH r AS (
+  SELECT n_nationkey AS rid,
+         CAST(n_nationkey * 7 % 50 AS DOUBLE) AS ax,
+         CAST(n_nationkey * 13 % 50 AS DOUBLE) AS ay,
+         CAST(n_nationkey % 4 AS DOUBLE) * 2.5 + 1.25 AS m
+  FROM nation
+)
+SELECT CAST(rid AS BIGINT) AS rid, round(m, 6) AS m_q,
+       round(CASE WHEN m <= 5 THEN ax + 3.0 * (m / 5.0)
+                  ELSE ax + 3.0 + 4.0 * ((m - 5.0) / 5.0) END, 6) AS px,
+       round(CASE WHEN m <= 5 THEN ay + 4.0 * (m / 5.0)
+                  ELSE ay + 4.0 - 3.0 * ((m - 5.0) / 5.0) END, 6) AS py
+FROM r
+""",
+        "geom_cut": """
+WITH r AS (
+  SELECT n_nationkey AS rid,
+         CAST(n_nationkey * 7 % 50 AS DOUBLE) AS ax,
+         CAST(n_nationkey * 13 % 50 AS DOUBLE) AS ay
+  FROM nation
+)
+SELECT CAST(rid AS BIGINT) AS rid,
+       CAST(CASE WHEN rid % 2 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_pts,
+       round(ax + 3.0 * 0.25, 6) AS x0, round(ay + 4.0 * 0.25, 6) AS y0,
+       round(CASE WHEN rid % 2 = 0 THEN ax + 3.0 * 0.75
+                  ELSE ax + 3.0 + 4.0 * 0.75 END, 6) AS xn,
+       round(CASE WHEN rid % 2 = 0 THEN ay + 4.0 * 0.75
+                  ELSE ay + 4.0 - 3.0 * 0.75 END, 6) AS yn
+FROM r
+""",
+        "geom_chains": """
+WITH parts AS (
+  SELECT n_nationkey % 5 AS route, n_nationkey // 5 AS p,
+         CAST(n_nationkey // 5 * 10 AS DOUBLE)
+           + CASE WHEN n_nationkey // 5 = 2 THEN 1.0 ELSE 0.0 END AS x0,
+         CAST(n_nationkey // 5 * 10 + 10 AS DOUBLE) AS x1
+  FROM nation
+),
+f AS (
+  SELECT *, CASE WHEN lag(x1) OVER (PARTITION BY route ORDER BY x0) = x0
+                 THEN 0 ELSE 1 END AS nr
+  FROM parts
+),
+r AS (
+  SELECT *, sum(nr) OVER (PARTITION BY route ORDER BY x0
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM f
+)
+SELECT CAST(route AS BIGINT) AS route, round(min(x0), 6) AS beg,
+       round(max(x1), 6) AS "end", count(*) AS n_parts
+FROM r GROUP BY route, run
+""",
+        "node_pairs": """
+WITH i AS (SELECT n_nationkey AS k FROM nation),
+hv AS (
+  SELECT h.k AS a, v.k + 25 AS b,
+         CAST(v.k % 10 * 2 + 3 AS DOUBLE) AS x,
+         CAST(h.k * 2 + 1 AS DOUBLE) AS y
+  FROM i h, i v
+  WHERE v.k % 10 * 2 + 3 > h.k % 5 * 2
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       round(x, 6) AS x, round(y, 6) AS y
+FROM hv
+""",
+        "node_ordinals": """
+WITH i AS (SELECT n_nationkey AS k FROM nation),
+p AS (
+  SELECT h.k AS a, v.k + 25 AS b,
+         CAST(v.k % 10 * 2 + 3 AS DOUBLE) AS x,
+         CAST(h.k * 2 + 1 AS DOUBLE) AS y
+  FROM i h, i v
+  WHERE v.k % 10 * 2 + 3 > h.k % 5 * 2
+),
+src AS (SELECT x, y, a AS id FROM p UNION SELECT x, y, b AS id FROM p),
+n AS (SELECT x, y, count(*) AS n_src FROM src GROUP BY x, y)
+SELECT round(x, 6) AS x, round(y, 6) AS y,
+       CAST(row_number() OVER (ORDER BY x, y) - 1 AS BIGINT) AS node_id,
+       CAST(n_src AS BIGINT) AS n_src
+FROM n
+""",
+        "seg_clip": """
+WITH r AS (
+  SELECT n_nationkey AS rid,
+         CAST(n_nationkey * 13 % 30 AS DOUBLE) + 0.5 AS yr,
+         CAST(n_nationkey * 7 % 13 AS DOUBLE) AS x0
+  FROM nation
+),
+e AS (
+  SELECT rid, yr, x0,
+         unnest(CASE WHEN yr > 5 AND yr < 25
+                THEN [0.0, 15.0 - x0, 35.0 - x0, 40.0]
+                ELSE [0.0, 40.0] END) AS m
+  FROM r
+),
+iv AS (
+  SELECT rid, yr, x0, m AS beg,
+         lead(m) OVER (PARTITION BY rid ORDER BY m) AS "end"
+  FROM e
+),
+iv2 AS (SELECT * FROM iv WHERE "end" IS NOT NULL)
+SELECT CAST(rid AS BIGINT) AS rid, round(beg, 6) AS beg,
+       round("end", 6) AS "end", CAST(rid AS BIGINT) AS split_index
+FROM iv2
+WHERE yr > 5 AND yr < 25
+  AND (x0 + (beg + "end") / 2.0) > 15 AND (x0 + (beg + "end") / 2.0) < 35
+""",
+        "wkb_roundtrip": """
+SELECT CAST(n_nationkey AS BIGINT) AS rid,
+       CAST(81 AS BIGINT) AS n_bytes,
+       round(CAST(n_nationkey * 7 % 50 AS DOUBLE), 6) AS x0,
+       round(CAST(n_nationkey * 13 % 50 AS DOUBLE), 6) AS y0,
+       round(CAST(n_nationkey * 7 % 50 AS DOUBLE) + 7.0, 6) AS xn,
+       round(CAST(n_nationkey * 13 % 50 AS DOUBLE) + 1.0, 6) AS yn,
+       round(10.0, 6) AS mn
+FROM nation
+""",
+        "docs_quality": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) AS digits,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS DOUBLE) AS uppers
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n,
+         punct / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS punct_ratio,
+         digits / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS digit_ratio,
+         uppers / (CASE WHEN n > 0 THEN n ELSE 1.0 END) AS upper_ratio
+  FROM t
+)
+SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+       round(0.4 * least(n / 500.0, 1.0)
+           + 0.2 * least(punct_ratio * 20.0, 1.0)
+           + 0.2 * (1.0 - least(digit_ratio * 5.0, 1.0))
+           + 0.2 * (1.0 - least(upper_ratio * 5.0, 1.0)), 6) AS quality_score
+FROM r
+""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     overlay_w = (
         'greatest(least(l."end" - r.beg, r."end" - l.beg, '
         'least(l."end" - l.beg, r."end" - r.beg)), 0)'
     )
-    return {
+    out = {
         "seg_count_overlaps": f"""
 WITH {_SEG_SQL}, {_SEG2_SQL}
 SELECT l.route, l.beg, l."end",
@@ -1055,3 +1812,5 @@ SELECT user_id, CAST(sum(nw) AS BIGINT) AS n_sessions,
 FROM s GROUP BY user_id
 """,
     }
+    out.update(_extra_oracle_sql())
+    return out

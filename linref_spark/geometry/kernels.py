@@ -307,6 +307,68 @@ def from_wkt_m(wkt: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+_WKB_LINESTRING_M_ISO = 2002  # ISO SQL/MM: LINESTRING with an M dimension
+_EWKB_M_FLAG = 0x40000000  # PostGIS EWKB M-presence bit
+_WKB_LINESTRING = 2
+
+
+def to_wkb_m(xs: np.ndarray, ys: np.ndarray, ms: np.ndarray) -> bytes:
+    """ISO WKB ``LINESTRING M`` (type 2002), little-endian.
+
+    Pure-numpy encoder (no shapely in the container): header = byte order
+    ``01`` + uint32 type + uint32 point count, then an interleaved
+    (x, y, m) float64 triple per vertex — the standard layout every GIS
+    reader understands. Closes the ``parse_geoms_m_shapely`` role
+    (``linref/ext/base.py:3381-3425``) for binary interchange.
+    """
+    n = len(xs)
+    header = np.empty(9, dtype=np.uint8)
+    header[0] = 1  # little-endian
+    header[1:5] = np.frombuffer(
+        np.uint32(_WKB_LINESTRING_M_ISO).tobytes(), dtype=np.uint8
+    )
+    header[5:9] = np.frombuffer(np.uint32(n).tobytes(), dtype=np.uint8)
+    body = np.empty((n, 3), dtype="<f8")
+    body[:, 0] = xs
+    body[:, 1] = ys
+    body[:, 2] = ms
+    return header.tobytes() + body.tobytes()
+
+
+def from_wkb_m(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse WKB ``LINESTRING M`` bytes -> (xs, ys, ms) float64 arrays.
+
+    Accepts both the ISO type code (2002) and PostGIS EWKB (base type 2
+    with the 0x40000000 M flag), either byte order. A plain 2-D
+    LINESTRING (type 2) is accepted with ms = zeros (callers typically
+    re-impute M from bounds). Pure struct parsing — no GEOS.
+    """
+    if len(data) < 9:
+        raise ValueError("WKB too short")
+    little = data[0] == 1
+    bo = "<" if little else ">"
+    (wkb_type,) = np.frombuffer(data[1:5], dtype=f"{bo}u4")
+    wkb_type = int(wkb_type)
+    has_m = False
+    if wkb_type == _WKB_LINESTRING_M_ISO:
+        has_m = True
+    elif wkb_type & _EWKB_M_FLAG and (wkb_type & 0xFF) == _WKB_LINESTRING:
+        has_m = True
+    elif wkb_type == _WKB_LINESTRING:
+        has_m = False
+    else:
+        raise ValueError(f"Not a LINESTRING[ M] WKB (type={wkb_type})")
+    (n,) = np.frombuffer(data[5:9], dtype=f"{bo}u4")
+    n = int(n)
+    dims = 3 if has_m else 2
+    vals = np.frombuffer(data[9 : 9 + 8 * dims * n], dtype=f"{bo}f8")
+    if len(vals) != dims * n:
+        raise ValueError("WKB truncated")
+    vals = vals.reshape(n, dims).astype(np.float64)
+    ms = vals[:, 2].copy() if has_m else np.zeros(n, dtype=np.float64)
+    return vals[:, 0].copy(), vals[:, 1].copy(), ms
+
+
 # --- 2-D intersection / containment kernels (spatial join refinement) --------
 
 

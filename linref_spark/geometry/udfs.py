@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     StringType,
     StructField,
@@ -158,6 +159,31 @@ def udf_geom_m_to_wkt(xs: pd.Series, ys: pd.Series, ms: pd.Series) -> pd.Series:
     for x, y, mm in zip(xs, ys, ms):
         out.append(None if x is None else K.to_wkt_m(_np(x), _np(y), _np(mm)))
     return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def udf_geom_m_to_wkb(xs: pd.Series, ys: pd.Series, ms: pd.Series) -> pd.Series:
+    """ISO WKB LINESTRING M (little-endian) — binary interchange for the
+    geom_m struct (kernels.to_wkb_m)."""
+    out = []
+    for x, y, mm in zip(xs, ys, ms):
+        out.append(None if x is None else K.to_wkb_m(_np(x), _np(y), _np(mm)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(GEOM_M_TYPE)
+def udf_wkb_to_geom_m(wkb: pd.Series) -> pd.DataFrame:
+    """Parse WKB LINESTRING M bytes (ISO 2002 / EWKB M-flag / plain 2-D)
+    into the geom_m struct — the shapely-free ingestion path closing the
+    ``parse_geoms_m_shapely`` role (``linref/ext/base.py:3381-3425``)."""
+    oxs, oys, oms = [], [], []
+    for b in wkb:
+        if b is None:
+            oxs.append(None), oys.append(None), oms.append(None)
+            continue
+        x, y, m = K.from_wkb_m(bytes(b))
+        oxs.append(x), oys.append(y), oms.append(m)
+    return pd.DataFrame({"xs": oxs, "ys": oys, "ms": oms})
 
 
 @F.pandas_udf(GEOM_M_TYPE)

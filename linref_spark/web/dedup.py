@@ -20,15 +20,31 @@ degenerate content: recall loss is auditable via the companion
 metrics run the same bucket/posting aggregation and report what the cap
 would drop).
 
-Hashing uses xxhash64 (Spark built-in, seedable, 64-bit) for minhash and
-simhash — deterministic across runs/partitions; md5 where cross-engine
-(DuckDB oracle) reproducibility is needed.
+Hashing: ``hash_name="xxhash64"`` (default — Spark built-in, seedable,
+64-bit, the fast production path) or ``hash_name="md5long"`` — the top 60
+bits of ``md5(f"{seed}:{value}")`` as a positive long. md5long costs more
+CPU but is reproducible on ANY engine with an md5 function (DuckDB:
+``CAST('0x' || substr(md5(seed || ':' || v), 1, 15) AS BIGINT)``), which
+is what lets the driver's correctness gate value-hash the minhash/simhash
+queries against a SQL oracle instead of a rows-only check.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+HASH_NAMES = ("xxhash64", "md5long")
+
+
+def _hash64(col: Column, seed: int, hash_name: str) -> Column:
+    """Seeded 64-bit (60-bit for md5long) integer hash of a string column."""
+    if hash_name == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_name == "md5long":
+        h = F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_name must be one of {HASH_NAMES}")
 
 
 def dedup_exact(
@@ -75,18 +91,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — min over shingles of xxhash64(shingle, seed_i).
+    """(id, sig: array<bigint>) — min over shingles of hash(shingle, seed_i).
 
     One explode + one groupBy; the per-seed mins are a single aggregation
-    pass (no per-hash shuffle).
+    pass (no per-hash shuffle). ``hash_name="md5long"`` swaps the hash
+    family for the cross-engine-reproducible one (module docstring).
     """
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
     )
     aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_h{i}")
+        F.min(_hash64(F.col("_sh"), i, hash_name)).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     sig = ex.groupBy("_id").agg(*aggs)
@@ -103,12 +121,13 @@ def _minhash_buckets(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """(_id, _band, _bucket) rows: one per doc per band."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_name)
     band_arr = F.array(
         *[
             F.struct(
@@ -152,9 +171,10 @@ def minhash_drop_metrics(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """What :func:`minhash_lsh_pairs` drops under the same parameters."""
-    b = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    b = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k, hash_name)
     return bucket_drop_metrics(b, max_bucket)
 
 
@@ -166,6 +186,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
 
@@ -175,7 +196,9 @@ def minhash_lsh_pairs(
     bucket self-join from going quadratic on degenerate content. Audit the
     recall cost with :func:`minhash_drop_metrics` (same parameters).
     """
-    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands, shingle_k)
+    buckets = _minhash_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_k, hash_name
+    )
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
@@ -264,26 +287,30 @@ def ngram_posting_drop_metrics(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_name: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (sign of per-bit vote sums).
 
-    Pure expressions: explode tokens, per-bit +1/-1 votes from xxhash64
-    bits, sum, sign -> packed bigint. One explode + one groupBy.
+    Pure expressions: explode tokens, per-bit +1/-1 votes from the token
+    hash bits, sum, sign -> packed bigint. One explode + one groupBy.
+    ``hash_name="md5long"`` uses the cross-engine hash (60 usable bits, so
+    the simhash is 60-bit; band structure adapts in the pair functions).
     """
+    n_bits = 64 if hash_name == "xxhash64" else 60
     ex = df.select(
         F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     )
-    h = F.xxhash64(F.col("_t"))
+    h = _hash64(F.col("_t"), 0, hash_name) if hash_name != "xxhash64" else F.xxhash64(F.col("_t"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     votes = ex.groupBy("_id").agg(*aggs)
     packed = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

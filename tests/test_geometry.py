@@ -190,3 +190,67 @@ def test_interpolate_udf(spark, roads):
     assert got[("US-101", 0.0)] == (5.0, 0.0)
     assert got[("US-101", 10.0)] == (15.0, 0.0)
     assert got[("SR-1", 0.0)] == (7.5, 10.0)
+
+
+def test_wkb_m_roundtrip_and_interop():
+    """WKB LINESTRING M codec: roundtrip + golden bytes + EWKB/2-D/big-endian
+    acceptance (the shapely-free parse_geoms_m ingestion path)."""
+    import struct
+
+    import numpy as np
+
+    from linref_spark.geometry import kernels as K
+
+    xs = np.array([0.0, 3.0, 7.0])
+    ys = np.array([0.0, 4.0, 1.0])
+    ms = np.array([0.0, 5.0, 10.0])
+    wkb = K.to_wkb_m(xs, ys, ms)
+    # golden header: little-endian, ISO type 2002, 3 points
+    assert wkb[:9] == struct.pack("<BII", 1, 2002, 3)
+    assert wkb[9:17] == struct.pack("<d", 0.0)
+    rx, ry, rm = K.from_wkb_m(wkb)
+    assert np.array_equal(rx, xs) and np.array_equal(ry, ys)
+    assert np.array_equal(rm, ms)
+
+    # hand-built EWKB (M flag on base type 2), big-endian
+    ewkb = struct.pack(">BII", 0, 0x40000002, 2) + struct.pack(
+        ">6d", 1.0, 2.0, 9.0, 4.0, 6.0, 11.0
+    )
+    ex, ey, em = K.from_wkb_m(ewkb)
+    assert list(ex) == [1.0, 4.0] and list(ey) == [2.0, 6.0]
+    assert list(em) == [9.0, 11.0]
+
+    # plain 2-D LINESTRING -> ms zero-filled
+    plain = struct.pack("<BII", 1, 2, 2) + struct.pack("<4d", 0.0, 0.0, 3.0, 4.0)
+    px, py, pm = K.from_wkb_m(plain)
+    assert list(pm) == [0.0, 0.0] and list(px) == [0.0, 3.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LINESTRING"):
+        K.from_wkb_m(struct.pack("<BII", 1, 1, 1) + struct.pack("<2d", 0, 0))
+
+
+def test_wkb_udf_roundtrip(spark):
+    """Spark-side WKB encode -> decode roundtrip through the UDF pair."""
+    from pyspark.sql import functions as F
+
+    from linref_spark.geometry.udfs import (
+        geom_m_struct,
+        udf_geom_m_to_wkb,
+        udf_wkb_to_geom_m,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 3.0], [0.0, 4.0], [0.0, 5.0]), (1, [1.0, 2.0], [1.0, 1.0], [2.0, 3.0])],
+        "rid long, xs array<double>, ys array<double>, ms array<double>",
+    )
+    df = df.withColumn(
+        "wkb", udf_geom_m_to_wkb(F.col("xs"), F.col("ys"), F.col("ms"))
+    ).withColumn("geom2", udf_wkb_to_geom_m(F.col("wkb")))
+    rows = {r["rid"]: r for r in df.collect()}
+    for rid in (0, 1):
+        r = rows[rid]
+        assert list(r["geom2"]["xs"]) == list(r["xs"])
+        assert list(r["geom2"]["ys"]) == list(r["ys"])
+        assert list(r["geom2"]["ms"]) == list(r["ms"])
