@@ -221,8 +221,14 @@ def resize_stub(
     )
 
 
-# real pure-numpy reference codecs (linref_spark/web/codecs.py)
-DECODERS["image"] = C.bmp_feature
+# real pure-numpy reference codecs (linref_spark/web/codecs.py).
+# 'image' dispatches on magic bytes over BMP + PNG; 'png'/'bmp' address a
+# single codec directly. jpeg/mp4 remain declared stubs (no media libs).
+DECODERS["image"] = C.image_feature
+DECODERS["bmp"] = C.bmp_feature
+DECODERS["png"] = C.png_feature
 DECODERS["audio"] = C.wav_feature
 DECODERS["bytestats"] = _fake_feature
-RESIZERS["image"] = (C.decode_bmp24, C.encode_bmp24)
+RESIZERS["image"] = (C.decode_image, C.encode_bmp24)
+RESIZERS["bmp"] = (C.decode_bmp24, C.encode_bmp24)
+RESIZERS["png"] = (C.decode_png, C.encode_png)

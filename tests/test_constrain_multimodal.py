@@ -224,3 +224,127 @@ def test_generate_linear_events(spark):
     # M geometry endpoints match the generated bounds
     ms = {tuple(r.geom_xs): list(r.geom_m.ms) for r in out.collect()}
     assert ms[(0.0, 3.0)] == [0.0, 6.0]
+
+
+def test_png_codec_against_spec_reference():
+    """decode_png validated two ways: (a) a golden filter-0 PNG built
+    directly from zlib + struct (independent of encode_png), (b) random
+    images through encode_png (rows cycle filters 0-4) cross-checked by a
+    scalar unfilter transcribed from the RFC 2083 pseudocode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from linref_spark.web import codecs as C
+
+    # (a) golden 2x2 RGB PNG, filter 0, hand-assembled
+    px = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([0, 0, 0, 255, 10, 20, 30])
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    golden = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(px))
+        + chunk(b"IEND", b"")
+    )
+    img = C.decode_png(golden)
+    assert img is not None
+    assert img.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [10, 20, 30]],
+    ]
+
+    # (b) RFC-pseudocode scalar unfilter as the independent reference
+    def ref_decode(data):
+        sig = data[:8]
+        assert sig == b"\x89PNG\r\n\x1a\n"
+        pos, idat, hdr = 8, b"", None
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            if tag == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", data[pos + 8:pos + 8 + ln])
+            elif tag == b"IDAT":
+                idat += data[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        w, h, _, ct, _, _, _ = hdr
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            rb = raw[y * (1 + stride):(y + 1) * (1 + stride)]
+            f, line = rb[0], bytearray(rb[1:])
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0          # left
+                b = out[y - 1, x] if y > 0 else 0            # up
+                c = out[y - 1, x - ch] if (y > 0 and x >= ch) else 0  # up-left
+                if f == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif f == 2:
+                    line[x] = (line[x] + b) & 0xFF
+                elif f == 3:
+                    line[x] = (line[x] + (int(a) + int(b)) // 2) & 0xFF
+                elif f == 4:
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pr) & 0xFF
+            out[y] = np.frombuffer(bytes(line), np.uint8)
+        return out.reshape(h, w, ch)
+
+    rng = np.random.RandomState(3)
+    for shape in [(7, 5, 3), (6, 6, 4), (11, 3, 1)]:
+        src = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        png = C.encode_png(src)
+        ref = ref_decode(png)
+        assert np.array_equal(ref, src.reshape(ref.shape)), shape
+        got = C.decode_png(png)
+        want = src if shape[2] == 3 else (
+            np.repeat(src, 3, axis=2) if shape[2] == 1 else src[:, :, :3]
+        )
+        assert np.array_equal(got, want.reshape(got.shape)), shape
+
+
+def test_png_decode_resize_neardup_end_to_end(spark):
+    """VERDICT r2 item 5: synthesized PNG bytes through decode -> resize ->
+    feature -> embedding near-dup on the real registry path; mixed BMP/PNG
+    batches dispatch on magic bytes under kind='image'."""
+    import numpy as np
+
+    from linref_spark.web import ann as ANN
+    from linref_spark.web import codecs as C
+    from linref_spark.web import multimodal as MM
+
+    rng = np.random.RandomState(11)
+    rows_ = []
+    for i in range(6):
+        img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        twin = np.clip(img.astype(int) + rng.randint(-2, 3, img.shape), 0, 255
+                       ).astype(np.uint8)
+        enc = C.encode_png if i % 2 == 0 else C.encode_bmp24  # mixed formats
+        rows_.append((i, bytearray(C.encode_png(img))))
+        rows_.append((100 + i, bytearray(enc(twin))))
+    df = spark.createDataFrame(rows_, "media_id long, media binary")
+
+    rs = MM.resize_images(df.where("media_id < 100"), width=8, height=8,
+                          kind="png")
+    for r in rs.collect():
+        out = C.decode_png(bytes(r.media_resized))
+        assert out is not None and out.shape == (8, 8, 3)
+
+    feats = MM.decode_features(df, kind="image").withColumnRenamed(
+        "media_id", "vec_id"
+    ).withColumnRenamed("features", "embedding")
+    assert all(r.embedding is not None for r in feats.collect())
+    pairs = {
+        (r.a, r.b)
+        for r in ANN.cosine_neardup_pairs(feats, dim=16, threshold=0.999).collect()
+    }
+    assert all((i, 100 + i) in pairs for i in range(6))
