@@ -51,8 +51,11 @@ def _make_match_udf(densify):
     ) -> pd.DataFrame:
         """Batched per TARGET geometry (the trick udf_snap_by_geom uses for
         snapping): all candidate endpoints of one target project in a single
-        (2P x S) vectorized pass; only substring+hausdorff remain per pair
-        (each internally vectorized over vertices)."""
+        (2P x S) vectorized pass; Hausdorff scores for the whole candidate
+        group run in a few padded (P x L x L) broadcasts
+        (kernels.hausdorff_many) and the M recovery is one interpolation
+        call over all 2P bounds — only the substring slicing itself remains
+        a cheap per-pair list op."""
         n = len(tid)
         hd = np.full(n, np.nan)
         beg = np.full(n, np.nan)
@@ -79,14 +82,17 @@ def _make_match_udf(densify):
             along = K.snap_points_batch(
                 tx, ty, None, np.asarray(ex), np.asarray(ey)
             )[1]
-            for j, (i, px, py) in enumerate(valid):
-                d0, d1 = along[2 * j], along[2 * j + 1]
-                lo, hi = (d0, d1) if d0 <= d1 else (d1, d0)
-                # score against the target substring between the projections
-                sx, sy, _ = K.substring(tx, ty, tm, lo, hi)
-                hd[i] = K.hausdorff_distance(sx, sy, px, py, densify=densify)
-                m = K.distance_to_m(tx, ty, tm, np.array([lo, hi]))
-                beg[i], end[i] = m[0], m[1]
+            bounds = np.sort(along.reshape(-1, 2), axis=1)  # (P, [lo, hi])
+            subs = [
+                K.substring(tx, ty, tm, lo, hi)[:2]
+                for lo, hi in bounds
+            ]
+            projs = [(px, py) for _, px, py in valid]
+            scores = K.hausdorff_many(subs, projs, densify=densify)
+            ms = K.distance_to_m(tx, ty, tm, bounds.ravel()).reshape(-1, 2)
+            rows = np.fromiter((i for i, _, _ in valid), dtype=np.int64)
+            hd[rows] = scores
+            beg[rows], end[rows] = ms[:, 0], ms[:, 1]
         return pd.DataFrame({"hausdorff": hd, "beg_m": beg, "end_m": end})
 
     return udf_match

@@ -150,3 +150,31 @@ def test_parallel_project_samples_validation(spark, network):
         parallel_project_samples(network, proj, TLRS, 1.0, match="some")
     with pytest.raises(ValueError):
         parallel_project_samples(network, proj, TLRS, 1.0, choose=0)
+
+
+def test_hausdorff_many_matches_scalar_kernel():
+    """Padded-batch Hausdorff (kernels.hausdorff_many) must equal the
+    per-pair kernel bit-for-bit across size regimes, including the hybrid
+    boundary (batch_max_verts) and densify."""
+    import numpy as np
+
+    from linref_spark.geometry import kernels as K
+
+    rng = np.random.RandomState(42)
+    for lo, hi, P in [(2, 6, 300), (3, 40, 200), (20, 120, 60)]:
+        a_lines, b_lines = [], []
+        for _ in range(P):
+            n1, n2 = rng.randint(lo, hi), rng.randint(lo, hi)
+            a_lines.append(
+                (np.cumsum(rng.rand(n1)), np.cumsum(rng.rand(n1) - 0.5))
+            )
+            b_lines.append(
+                (np.cumsum(rng.rand(n2)), np.cumsum(rng.rand(n2) - 0.5))
+            )
+        for d in (None, 0.2):
+            want = np.array([
+                K.hausdorff_distance(a[0], a[1], b[0], b[1], densify=d)
+                for a, b in zip(a_lines, b_lines)
+            ])
+            got = K.hausdorff_many(a_lines, b_lines, densify=d)
+            assert np.allclose(want, got, rtol=1e-12), (lo, hi, d)
