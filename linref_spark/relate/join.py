@@ -56,17 +56,35 @@ class JoinStrategy:
       join key (scale path for hot routes / ungrouped data).
     - ``broadcast``: broadcast the right side (use when right is a small
       dimension, e.g. dissolved route geometry).
+    - ``salt_buckets`` (binned only): also split each (group, bin) join key
+      ``S`` ways — left rows take ``hash(id) % S``, right rows replicate to
+      all ``S`` salts. Binning normally spreads hot routes by the measure
+      axis, but it stops helping when MANY IDENTICAL ``[beg, end]``
+      intervals flood one bin (degenerate duplicated data): every copy
+      lands on the same (group, bin) reducer. Salting bounds that reducer
+      at 1/S of the flood for an S-times replication of the (narrow) right
+      side. Results are identical: each candidate pair meets on exactly
+      one salt.
     """
 
     kind: str = "equi"
     bin_size: Optional[float] = None
     broadcast: bool = False
+    salt_buckets: Optional[int] = None
 
     def __post_init__(self):
         if self.kind not in ("equi", "binned"):
             raise ValueError("strategy kind must be 'equi' or 'binned'")
         if self.kind == "binned" and not (self.bin_size and self.bin_size > 0):
             raise ValueError("binned strategy requires a positive bin_size")
+        if self.salt_buckets is not None:
+            if self.kind != "binned":
+                raise ValueError(
+                    "salt_buckets applies to the binned strategy only "
+                    "(the equi join key has no measure axis to flood)"
+                )
+            if self.salt_buckets < 2:
+                raise ValueError("salt_buckets must be >= 2")
 
 
 EQUI = JoinStrategy("equi")
@@ -135,7 +153,16 @@ def _candidates_binned(
     cond = F.col("l_bin") == F.col("r_bin")
     if group_cond is not None:
         cond = cond & group_cond
+    if strategy.salt_buckets:
+        s = int(strategy.salt_buckets)
+        lb = lb.withColumn("_lsalt", F.pmod(F.xxhash64(F.col("l_id")), F.lit(s)))
+        rb = rb.withColumn(
+            "_rsalt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s - 1)))
+        )
+        cond = cond & (F.col("_lsalt") == F.col("_rsalt"))
     joined = lb.join(rb, on=cond, how="inner")
+    if strategy.salt_buckets:
+        joined = joined.drop("_lsalt", "_rsalt")
 
     if llrs.is_linear and rlrs.is_linear:
         anchor = F.greatest(F.col("l_beg"), F.col("r_beg"))

@@ -18,6 +18,7 @@ from linref_spark.relate.join import EQUI, JoinStrategy, intersect_pairs, overla
 from tests.conftest import make_events, pairs_to_matrix
 
 BINNED = JoinStrategy("binned", bin_size=9.0)
+SALTED = JoinStrategy("binned", bin_size=9.0, salt_buckets=4)
 CLOSURES = ["left", "right", "both", "neither", "left_mod", "right_mod"]
 
 
@@ -101,7 +102,7 @@ def test_intersect_matches_numpy_mirror(spark, closed, seed):
     rmod, _ = np_modified_edges(rb, re, rg, closed)
     expected = np_intersect_ll(lb, le, lg, lmod, closed, rb, re, rg, rmod, closed)
 
-    for strat in (EQUI, BINNED):
+    for strat in (EQUI, BINNED, SALTED):
         got = pairs_to_matrix(
             intersect_pairs(left, right, llrs, rlrs, strategy=strat), 60, 50
         )
@@ -127,9 +128,40 @@ def test_overlay_matches_numpy_mirror(spark, seed):
     denom = np.where((re - rb) == 0, np.inf, (re - rb))[None, :]
     expected = overlap / denom
 
-    for strat in (EQUI, BINNED):
+    for strat in (EQUI, BINNED, SALTED):
         got = pairs_to_matrix(
             overlay_pairs(left, right, llrs, rlrs, norm_by="right", strategy=strat),
             60, 50, weight=True,
         )
         assert np.allclose(got, expected, atol=1e-12)
+
+
+def test_salted_binned_on_identical_interval_flood(spark):
+    """Degenerate skew: many IDENTICAL [beg, end] intervals share one
+    (route, bin) key, where binning stops spreading. salt_buckets must
+    leave results identical to equi while splitting the hot key."""
+    import pytest as _pytest
+
+    n = 800
+    lb = np.array([10.0] * n)           # one flooded bin
+    le = np.array([12.0] * n)
+    lg = np.zeros(n, dtype=int)
+    rb = np.round(np.linspace(0.0, 20.0, 40), 1)
+    re = rb + 3.0
+    rg = np.zeros(40, dtype=int)
+    left, llrs = make_events(spark, begs=lb, ends=le, groups=[0] * n)
+    right, rlrs = make_events(spark, begs=rb, ends=re, groups=[0] * 40)
+
+    base = intersect_pairs(left, right, llrs, rlrs, strategy=EQUI)
+    want = {(r["left_id"], r["right_id"]) for r in base.collect()}
+    salted = intersect_pairs(
+        left, right, llrs, rlrs,
+        strategy=JoinStrategy("binned", bin_size=5.0, salt_buckets=8),
+    )
+    got = {(r["left_id"], r["right_id"]) for r in salted.collect()}
+    assert got == want and len(want) > 0
+
+    with _pytest.raises(ValueError, match="binned"):
+        JoinStrategy("equi", salt_buckets=4)
+    with _pytest.raises(ValueError, match=">= 2"):
+        JoinStrategy("binned", bin_size=5.0, salt_buckets=1)
