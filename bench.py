@@ -4,6 +4,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
 Forces full materialization via the noop sink (no collect-to-driver bias).
 The binned variants exercise the measure-axis bin join — the 100 TB scale
 path — against the same inputs as the equi variants.
+
+$SPARK_GRAFT_MULT (default 1) replicates every input deterministically
+(routes/doc ids/vec ids shifted per replica, text/embeddings perturbed)
+to add a second scale point WITHOUT new parquet: MULT=10 over sf0.1 is a
+~sf1 workload (and 2M pages via $SPARK_GRAFT_PAGES). All queries run off
+eagerly checkpointed inputs, so timings measure the operators, not input
+derivation; replication happens in that untimed setup.
 """
 
 from __future__ import annotations
@@ -18,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
+from linref_spark.events import modify as MOD  # noqa: E402
+from linref_spark.events.constrain import split_at_locs  # noqa: E402
+from linref_spark.events.frame import add_event_id  # noqa: E402
 from linref_spark.relate import agg as AGG  # noqa: E402
+from linref_spark.relate.distribute import distribute  # noqa: E402
 from linref_spark.relate.join import JoinStrategy, intersect_pairs, overlay_pairs  # noqa: E402
 from linref_spark.session import get_spark  # noqa: E402
 from linref_spark.web import dedup as DD  # noqa: E402
@@ -26,7 +37,8 @@ from linref_spark.web.pages import generate_pages, geocode_pages, with_extracted
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
+MULT = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES", str(200000 * MULT)))
 BINNED = JoinStrategy("binned", bin_size=25.0)
 
 
@@ -34,10 +46,66 @@ def materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _rep_col():
+    return F.explode(F.sequence(F.lit(0), F.lit(MULT - 1))).alias("_rep")
+
+
+def _scaled_seg(spark, linenumber):
+    seg = E._seg(spark, SF_DIR, linenumber)
+    if MULT > 1:
+        seg = seg.drop("event_id").select("*", _rep_col()).withColumn(
+            "route", F.col("route") + F.col("_rep") * 100
+        ).drop("_rep")
+        seg = add_event_id(seg, order_by=["route", "beg", "end", "val"])
+    return seg
+
+
+def _scaled_pts(spark):
+    pts = E._pts(spark, SF_DIR)
+    if MULT > 1:
+        pts = pts.drop("event_id").select("*", _rep_col()).withColumn(
+            "route", F.col("route") + F.col("_rep") * 100
+        ).drop("_rep")
+        pts = add_event_id(pts, order_by=["route", "loc", "pval", "status"])
+    return pts
+
+
+def _scaled_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if MULT > 1:
+        docs = docs.select("*", _rep_col()).select(
+            (F.col("doc_id") + F.col("_rep") * 1_000_000).alias("doc_id"),
+            # perturb text per replica so replicas aren't exact duplicates
+            F.concat(F.col("text"), F.lit(" r"), F.col("_rep")).alias("text"),
+        )
+    return docs
+
+
+def _scaled_emb(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    if MULT > 1:
+        emb = emb.select("*", _rep_col()).select(
+            (F.col("vec_id") + F.col("_rep") * 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + F.col("_rep").cast("float") * F.lit(0.001),
+            ).alias("embedding"),
+        )
+    return emb
+
+
 def bench_queries(spark):
-    seg1 = E._seg(spark, SF_DIR, 1).localCheckpoint()
-    seg2 = E._seg(spark, SF_DIR, 2).localCheckpoint()
-    pts = E._pts(spark, SF_DIR).localCheckpoint()
+    seg1 = _scaled_seg(spark, 1).localCheckpoint()
+    seg2 = _scaled_seg(spark, 2).localCheckpoint()
+    pts = _scaled_pts(spark).localCheckpoint()
+    docs = _scaled_docs(spark).localCheckpoint()
+    emb = _scaled_emb(spark).localCheckpoint()
+    dim = len(emb.select("embedding").first()[0])
+    # query set stays fixed-size across MULT (rep 0 only): corpus grows
+    # x MULT, so brute/LSH top-k work scales linearly, not quadratically
+    emb_queries = emb.where(
+        (F.col("vec_id") % 500 == 0) & (F.col("vec_id") < 1_000_000)
+    )
 
     def q_count_overlaps_equi():
         pairs = intersect_pairs(seg1, seg2, E.SEG_LRS, E.SEG_LRS)
@@ -56,36 +124,41 @@ def bench_queries(spark):
         materialize(AGG.agg_count(pairs, seg1, out_col="n"))
 
     def q_dissolve():
-        materialize(E.q_seg_dissolve(spark, SF_DIR))
+        materialize(MOD.dissolve(seg1, E.SEG_LRS))
 
     def q_resegment():
-        materialize(E.q_seg_resegment(spark, SF_DIR))
+        materialize(MOD.resegment(seg1, E.SEG_LRS, length=7.0, fill="cut"))
 
     def q_distribute():
-        materialize(E.q_seg_distribute(spark, SF_DIR))
+        pairs = intersect_pairs(seg1, pts, E.SEG_LRS, E.PTS_LRS)
+        materialize(
+            distribute(
+                pairs, seg1, pts, E.SEG_LRS, E.PTS_LRS, value_col=None,
+                decay_size=2, decay_func="linear",
+            )
+        )
 
     def q_seg_split():
-        materialize(E.q_seg_split(spark, SF_DIR))
+        materialize(
+            split_at_locs(seg1, pts, E.SEG_LRS, E.PTS_LRS, inverse_col="six")
+        )
 
     def q_minhash_lsh():
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         materialize(DD.minhash_lsh_pairs(docs, num_hashes=16, bands=4))
 
     def q_ann_topk():
-        materialize(E.q_ann_topk(spark, SF_DIR))
+        from linref_spark.web import ann as ANN
+
+        materialize(ANN.cosine_topk(emb, emb_queries, k=5))
 
     def q_lsh_topk():
         from linref_spark.web import ann as ANN
 
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        dim = len(emb.select("embedding").first()[0])
-        queries = emb.where(F.col("vec_id") % 500 == 0)
         materialize(
-            ANN.lsh_topk(emb, queries, dim=dim, k=5, n_planes=16, bands=4)
+            ANN.lsh_topk(emb, emb_queries, dim=dim, k=5, n_planes=16, bands=4)
         )
 
     def q_pages_pipeline():
-        from linref_spark.events.frame import add_event_id
         from linref_spark.geometry.udfs import add_geom_m
         from linref_spark.lrs import LRS
         from linref_spark.spatial.join import project_points_broadcast
@@ -105,7 +178,7 @@ def bench_queries(spark):
             ).alias("geom_ys"),
         )
         routes = add_geom_m(add_event_id(routes, rlrs), rlrs)
-        pts = geo.select(
+        pts_g = geo.select(
             F.xxhash64("url").alias("event_id"),
             F.col("loc_mp").alias("x"),
             (
@@ -114,7 +187,7 @@ def bench_queries(spark):
             ).alias("y"),
             (F.col("extracted_text") == F.col("text")).alias("_audit"),
         )
-        snapped = project_points_broadcast(routes, pts, rlrs, buffer=5.0, res=8)
+        snapped = project_points_broadcast(routes, pts_g, rlrs, buffer=5.0, res=8)
         materialize(tile_aggregate(with_point_tile(snapped, "x", "y", res=8)))
 
     return {
@@ -163,6 +236,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "pages_rows": PAGES_ROWS,
+        "mult": MULT,
     }
     print(json.dumps(result))
 
