@@ -24,10 +24,31 @@ decay_size = 0 short-circuiting to weight 1:
 - gaussian     exp(-(3 s / size)^2 / 2)   (normal pdf ratio)
 - flat         1
 
-Spark-first: the reference's padded-matrix row shifts become an ``explode``
-over a tiny (offset, decay-weight) array literal followed by an equi-join on
-target position — one narrow join + one window + one groupBy. The offset
-table is O(decay_size), driver-side, broadcast implicitly.
+Spark-first, in the SEPARATED form. The naive plan explodes every match
+over the (2*decay_size+1) offsets and normalizes with a window over that
+exploded table — O(K*P) rows through the heaviest shuffle (P = matches,
+K = offsets). But the spread is separable: a match at target position q
+contributes ``w * dw(d) * len(q+d) * [same group]`` to position q+d, so a
+source's normalization total is ``tot_j = sum_q w * S(q)`` where
+
+    S(q) = sum_d dw(d) * len(q+d) * [group(q+d) == group(q)]
+
+depends on q ALONE (every match shares the target's group by the join
+construction). The plan therefore runs:
+
+1. ``S(q)``: explode the TARGET rows over offsets (K*T rows, T = target
+   count), position+group join back, one groupBy;
+2. ``tot_j``: join matches to S(q) on position, groupBy source — O(P);
+3. ``A(q) = sum_j w * v_j / tot_j`` per match position — O(P);
+4. spread: explode A over offsets (K*T rows), position+group join, scale
+   by len(r), groupBy r.
+
+The O(K*P) exploded table and its window never exist; the heavy stages
+touch P rows twice and K*T rows twice (T << P whenever matches fan out).
+Measured 3-4x on the sf1-proxy bench (BENCH/BASELINE.md round 3). The
+zero-total fallback (divide only when tot != 0) is preserved exactly:
+weights/lengths are non-negative for built-in decays, and for custom
+decays a zero total implies every contribution is itself zero.
 
 Scale note: positions are the target frame's dense 0-based ``event_id``
 (linref's row index), minted by the DISTRIBUTED ordinal in
@@ -42,7 +63,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linref_spark.lrs import EVENT_ID, LRS
@@ -130,63 +151,87 @@ def distribute(
         ]
     )
 
-    contrib = (
-        pairs.select(
-            F.col(tgt_id).alias("_q"), F.col(src_id).alias("_j"), w.alias("_w")
-        )
-        .withColumn("_off", F.explode(off_arr))
-        .select(
-            (F.col("_q") + F.col("_off.d")).alias("_r"),
-            "_j",
-            (F.col("_w") * F.col("_off.dw")).alias("_c"),
-        )
-    )
+    if length_normalize and not target_lrs.is_linear:
+        raise ValueError("length_normalize requires linear target events")
 
-    # join target rows: position existence + group + length
-    tnarrow_cols = [F.col(EVENT_ID).alias("_r2")]
+    # narrow target positions: id, group cols, spread weight (length or 1)
+    tnarrow_cols = [F.col(EVENT_ID).alias("_pos")]
     for i, k in enumerate(target_lrs.key_cols):
         tnarrow_cols.append(F.col(k).alias(f"_tg{i}"))
     if length_normalize:
-        if not target_lrs.is_linear:
-            raise ValueError("length_normalize requires linear target events")
         tnarrow_cols.append(
             (F.col(target_lrs.end_col) - F.col(target_lrs.beg_col)).alias("_len")
         )
+    else:
+        tnarrow_cols.append(F.lit(1.0).alias("_len"))
     tnarrow = target.select(*tnarrow_cols)
-    contrib = contrib.join(tnarrow, on=F.col("_r") == F.col("_r2"), how="inner")
 
-    # group mask against the source event's group (relate.py:1480-1495)
-    if target_lrs.is_grouped:
-        snarrow = source.select(
-            F.col(EVENT_ID).alias("_j2"),
-            *[
-                F.col(k).alias(f"_sg{i}")
-                for i, k in enumerate(source_lrs.key_cols)
-            ],
+    n_keys = len(target_lrs.key_cols)
+
+    def spread(df: DataFrame, mass: str) -> DataFrame:
+        """Explode rows at origin ``_pos`` over the offsets, join the
+        target positions on destination + same group, scale by
+        dw * len(destination). Output: (_q origin, _r destination, _m)
+        rows. Runs only on T-sized inputs."""
+        e = df.withColumn("_off", F.explode(off_arr)).select(
+            F.col("_pos").alias("_q"),
+            (F.col("_pos") + F.col("_off.d")).alias("_r"),
+            *[F.col(f"_tg{i}").alias(f"_qg{i}") for i in range(n_keys)],
+            (F.col(mass) * F.col("_off.dw")).alias("_m0"),
         )
-        contrib = contrib.join(snarrow, on=F.col("_j") == F.col("_j2"), how="inner")
-        same = F.lit(True)
-        for i in range(len(target_lrs.key_cols)):
-            same = same & (F.col(f"_tg{i}") == F.col(f"_sg{i}"))
-        contrib = contrib.where(same)
+        cond = F.col("_r") == F.col("_pos")
+        for i in range(n_keys):
+            cond = cond & (F.col(f"_qg{i}") == F.col(f"_tg{i}"))
+        j = e.join(tnarrow, on=cond, how="inner")
+        return j.select("_q", "_r", (F.col("_m0") * F.col("_len")).alias("_m"))
 
-    if length_normalize:
-        contrib = contrib.withColumn("_c", F.col("_c") * F.col("_len"))
+    # S(q): decay-weighted same-group neighbor length sum per ORIGIN
+    # position (the match's group equals its target row's group by join
+    # construction, so the reference's source-group mask,
+    # relate.py:1480-1495, reduces to a target-group mask)
+    ones = tnarrow.select(
+        "_pos",
+        *[F.col(f"_tg{i}") for i in range(n_keys)],
+        F.lit(1.0).alias("_one"),
+    )
+    s_q = spread(ones, "_one").groupBy("_q").agg(F.sum("_m").alias("_S"))
 
-    # normalize each source's shares to sum 1 (relate.py:1501-1512)
-    tot = F.sum("_c").over(Window.partitionBy("_j"))
-    contrib = contrib.withColumn(
-        "_c", F.when(tot != 0.0, F.col("_c") / tot).otherwise(F.col("_c"))
+    p = pairs.select(
+        F.col(tgt_id).alias("_q"), F.col(src_id).alias("_j"), w.alias("_w")
     )
 
-    # multiply by data and reduce per target (relate.py:1514-1520)
+    # per-source totals: tot_j = sum over matches of w * S(q)
+    # (relate.py:1501-1512). S(q) sums dw*len over the positions the match
+    # would spread to — identical to summing the exploded contributions.
+    tot = (
+        p.join(s_q, on="_q")
+        .groupBy("_j")
+        .agg(F.sum(F.col("_w") * F.col("_S")).alias("_tot"))
+    )
+
+    # per-position normalized source mass: A(q) = sum_j w * v_j / tot_j
+    # (tot == 0 implies every contribution is zero — dividing by 1 keeps
+    # the reference's leave-unnormalized fallback exactly)
+    pj = p.join(tot, on="_j")
     if value_col is not None:
         vals = source.select(
             F.col(EVENT_ID).alias("_j3"), F.col(value_col).cast("double").alias("_v")
         )
-        contrib = contrib.join(vals, on=F.col("_j") == F.col("_j3"), how="inner")
-        contrib = contrib.withColumn("_c", F.col("_c") * F.col("_v"))
+        pj = pj.join(vals, on=F.col("_j") == F.col("_j3"), how="inner")
+        mass = F.col("_w") * F.col("_v")
+    else:
+        mass = F.col("_w")
+    safe_tot = F.when(F.col("_tot") != 0.0, F.col("_tot")).otherwise(F.lit(1.0))
+    a_q = pj.groupBy("_q").agg(F.sum(mass / safe_tot).alias("_A"))
 
-    agg = contrib.groupBy("_r").agg(F.sum("_c").alias(out_col))
+    # spread A(q) over the offsets and scale by len(r) (relate.py:1514-1520);
+    # group by the DESTINATION this time
+    a_rows = a_q.join(
+        tnarrow.select(
+            F.col("_pos"), *[F.col(f"_tg{i}") for i in range(n_keys)]
+        ).withColumnRenamed("_pos", "_q"),
+        on="_q",
+    ).withColumnRenamed("_q", "_pos")
+    agg = spread(a_rows, "_A").groupBy("_r").agg(F.sum("_m").alias(out_col))
     out = target.join(agg, on=F.col(EVENT_ID) == F.col("_r"), how="left").drop("_r")
     return out.fillna({out_col: 0.0})
