@@ -250,6 +250,33 @@ class LinrefFrame:
 
         return project_points_tiled(self.df, points, self.lrs, **kw)
 
+    def split_at_geometry(self, mask_xs, mask_ys, **kw) -> "LinrefFrame":
+        """Split events wherever a mask polyline/polygon crosses their
+        geometries (``LRS_Accessor.split``)."""
+        from linref_spark.spatial.split import split_at_geometry as _split
+
+        return self._wrap(_split(self.df, self.lrs, mask_xs, mask_ys, **kw))
+
+    def clip(self, polygon_xs, polygon_ys, **kw) -> "LinrefFrame":
+        """Clip events to a polygon (``LRS_Accessor.clip``): split at the
+        boundary, keep inside/outside pieces by predicate."""
+        from linref_spark.spatial.split import clip_events as _clip
+
+        return self._wrap(_clip(self.df, self.lrs, polygon_xs, polygon_ys, **kw))
+
+    def match_hausdorff(self, projected: DataFrame, buffer: float, **kw) -> DataFrame:
+        """Match a projected line table onto this frame's geometries by
+        substring Hausdorff score (``parallel_project_hausdorff``)."""
+        from linref_spark.spatial.match import match_lines_hausdorff
+
+        return match_lines_hausdorff(self.df, projected, self.lrs, buffer, **kw)
+
+    def match_samples(self, projected: DataFrame, buffer: float, **kw) -> DataFrame:
+        """Sample-point line matcher (``ParallelProjector``)."""
+        from linref_spark.spatial.match import parallel_project_samples
+
+        return parallel_project_samples(self.df, projected, self.lrs, buffer, **kw)
+
     # -- relate -------------------------------------------------------------
     def relate(
         self,

@@ -78,6 +78,27 @@ def stream_sessionize(
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over a crawl feed: keep the first document
+    per md5(text) — the streaming form of ``web.dedup.dedup_exact``.
+
+    ``dropDuplicatesWithinWatermark`` bounds state by the watermark
+    horizon (a duplicate arriving later than the watermark is emitted
+    again — the standard bounded-state trade; batch dedup on the
+    checkpointed output remains exact). State is one (hash, timestamp)
+    entry per distinct text inside the horizon.
+    """
+    hashed = docs.withColumn("_text_md5", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["_text_md5"]
+    )
+
+
 def stream_union_intervals(
     events: DataFrame,
     key_col: str = "route_id",

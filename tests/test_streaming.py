@@ -175,3 +175,43 @@ def test_stream_union_diverges_from_batch_dissolve_on_partial_overlap(
     # batch dissolve: nothing exactly touches, so all three events survive
     assert batch == {(0.0, 5.0), (3.0, 9.0), (8.0, 12.0)}
     assert got != batch
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: first doc per md5(text) within the watermark
+    horizon survives; batch dedup of the stream output is a no-op."""
+    from pyspark.sql import functions as F
+
+    from linref_spark.pipeline.streaming import stream_dedup_exact
+    from linref_spark.web.dedup import dedup_exact
+
+    rows = []
+    base = "2024-01-01 10:{m:02d}:00"
+    for i in range(30):
+        # 10 distinct texts, each appearing 3x at different minutes
+        rows.append((i, f"doc body {i % 10}", base.format(m=i)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+        "doc_id", "text", F.col("ts").cast("timestamp").alias("warc_ts")
+    )
+    path = str(tmp_path / "docs_stream")
+    df.write.parquet(path)
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        stream_dedup_exact(stream, ts_col="warc_ts")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").select("doc_id", "text").collect()
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == sorted({f"doc body {k}" for k in range(10)})
+    # survivors are first arrivals (lowest doc_id per text here)
+    assert {r["doc_id"] for r in got} == set(range(10))
+    # idempotent under batch dedup
+    batch = dedup_exact(spark.table("dedup_stream").select("doc_id", "text"))
+    assert batch.count() == 10
