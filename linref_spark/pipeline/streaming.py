@@ -84,14 +84,18 @@ def stream_dedup_exact(
     ts_col: str = "warc_ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup over a crawl feed: keep the first document
-    per md5(text) — the streaming form of ``web.dedup.dedup_exact``.
+    """Streaming exact dedup over a crawl feed: keep ONE document per
+    md5(text) — the streaming form of ``web.dedup.dedup_exact``.
 
     ``dropDuplicatesWithinWatermark`` bounds state by the watermark
     horizon (a duplicate arriving later than the watermark is emitted
     again — the standard bounded-state trade; batch dedup on the
     checkpointed output remains exact). State is one (hash, timestamp)
-    entry per distinct text inside the horizon.
+    entry per distinct text inside the horizon. Unlike batch
+    ``dedup_exact`` (lowest id wins), the surviving row is the first one
+    the engine PROCESSES: deterministic across micro-batches, arbitrary
+    within one — callers needing canonical survivors re-canonicalize
+    downstream with ``exact_dup_groups``.
     """
     hashed = docs.withColumn("_text_md5", F.md5(F.col(text_col)))
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(

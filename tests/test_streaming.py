@@ -210,8 +210,9 @@ def test_stream_dedup_exact(spark, tmp_path):
     got = spark.table("dedup_stream").select("doc_id", "text").collect()
     texts = [r["text"] for r in got]
     assert sorted(texts) == sorted({f"doc body {k}" for k in range(10)})
-    # survivors are first arrivals (lowest doc_id per text here)
-    assert {r["doc_id"] for r in got} == set(range(10))
+    # exactly one survivor per text (which row wins within a micro-batch
+    # is engine-order-defined; see the operator docstring)
+    assert len(got) == 10
     # idempotent under batch dedup
     batch = dedup_exact(spark.table("dedup_stream").select("doc_id", "text"))
     assert batch.count() == 10
