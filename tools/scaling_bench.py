@@ -80,22 +80,21 @@ def main():
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    stamp = time.strftime("%Y-%m-%dT%H%MZ", time.gmtime())
+    with open(os.path.join(REPO, "BENCH", f"scaling_{stamp}.json"), "w") as f:
         json.dump(result, f, indent=2)
 
     l8, l32, e = best[8], best[32], best["effs"]
-    md = f"""# BENCH/BASELINE.md -- measured scaling + throughput
+    md = f"""
 
-Sandbox proxy for the north rule's "N vs 4N executors, efficiency >= 0.8"
-criterion: identical workloads at `local[8]` and `local[32]` in fresh
-JVMs, interleaved over {ROUNDS} rounds. This host is a virtualized sandbox
-whose effective CPU grant varies over time, so each level carries an
-independent host-CPU control (python busy-loop at the same process count)
-and the table below is the round with the best host-control scaling
-(host grant 8->32: **{e['host_scale']:.2f}x** of an ideal 4.00x);
-`BENCH/scaling.json` has all rounds.
+## Scaling measurement {stamp} (APPENDED — earlier sections above stand)
 
-## Workloads
+Identical workloads at `local[8]` and `local[32]` in fresh JVMs,
+interleaved over {ROUNDS} rounds; host-CPU control per level. Best round
+by host-control scaling (host grant 8->32: **{e['host_scale']:.2f}x** of
+an ideal 4.00x); `BENCH/scaling_{stamp}.json` has all rounds.
+
+### Workloads
 
 - **pages pipeline** (docs/sec): Common-Crawl-style synthesis ->
   html->text extraction (byte-identity audited) -> geocode ->
@@ -107,7 +106,7 @@ and the table below is the round with the best host-control scaling
 - **codegen calibration** (rows/sec): pure whole-stage-codegen xxhash --
   the Spark compute ceiling
 
-## Results (best round)
+### Results (best round)
 
 | workload | local[8] /sec | local[32] /sec | speedup | eff (/4) | eff (host-normalized) |
 |---|---|---|---|---|---|
@@ -120,7 +119,7 @@ and the table below is the round with the best host-control scaling
 scaling the host actually granted in the same window -- the engine's own
 scaling behavior with the sandbox's time-varying CPU cap factored out.
 
-## Single-host caveats
+### Single-host caveats
 
 local[8] and local[32] share one DRAM bus, one page cache, and one
 (tmpfs) shuffle volume: shuffle- and hash-aggregation-heavy phases
@@ -132,7 +131,7 @@ disk is out of the measurement.
 Re-generate: `python tools/scaling_bench.py` (SCALING_ROUNDS=N to change
 rounds).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(md)
     print(json.dumps(result["best_round_effs"]))
 
