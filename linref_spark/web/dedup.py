@@ -47,6 +47,34 @@ def _hash64(col: Column, seed: int, hash_name: str) -> Column:
     raise ValueError(f"hash_name must be one of {HASH_NAMES}")
 
 
+def _splitmix64(col: Column) -> Column:
+    """splitmix64 finalizer over a long column — pure JVM long arithmetic
+    (codegen-able; Java semantics give wrapping multiply for free)."""
+    z = col
+    z = F.shiftright(z, 30).bitwiseXOR(z) * F.lit(-4658895280553007687)  # 0xBF58476D1CE4E5B9
+    z = F.shiftright(z, 27).bitwiseXOR(z) * F.lit(-7723592293110705685)  # 0x94D049BB133111EB
+    return F.shiftright(z, 31).bitwiseXOR(z)
+
+
+def _derived_hashes(col: Column, n: int, hash_name: str) -> list[Column]:
+    """n seeded 64-bit hashes of a string column.
+
+    xxhash64: ONE string hash + (n-1) splitmix64 integer mixes of it with
+    golden-ratio seed offsets — the standard minhash construction (one
+    universal hash, derived family), ~n-times less string-hash CPU than n
+    independent seeded hashes on the hot explode. md5long keeps the
+    per-seed md5 (the oracle replays it verbatim).
+    """
+    if hash_name != "xxhash64":
+        return [_hash64(col, i, hash_name) for i in range(n)]
+    base = F.xxhash64(col)
+    return [
+        base if i == 0
+        else _splitmix64(base + F.lit(i * -7046029254386353131))  # 2*GOLDEN odd
+        for i in range(n)
+    ]
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -103,10 +131,8 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
     )
-    aggs = [
-        F.min(_hash64(F.col("_sh"), i, hash_name)).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    hashes = _derived_hashes(F.col("_sh"), num_hashes, hash_name)
+    aggs = [F.min(h).alias(f"_h{i}") for i, h in enumerate(hashes)]
     sig = ex.groupBy("_id").agg(*aggs)
     return sig.select(
         F.col("_id").alias(id_col),
