@@ -47,32 +47,22 @@ def _hash64(col: Column, seed: int, hash_name: str) -> Column:
     raise ValueError(f"hash_name must be one of {HASH_NAMES}")
 
 
-def _splitmix64(col: Column) -> Column:
-    """splitmix64 finalizer over a long column — pure JVM long arithmetic
-    (codegen-able; Java semantics give wrapping multiply for free)."""
-    z = col
-    z = F.shiftright(z, 30).bitwiseXOR(z) * F.lit(-4658895280553007687)  # 0xBF58476D1CE4E5B9
-    z = F.shiftright(z, 27).bitwiseXOR(z) * F.lit(-7723592293110705685)  # 0x94D049BB133111EB
-    return F.shiftright(z, 31).bitwiseXOR(z)
-
-
 def _derived_hashes(col: Column, n: int, hash_name: str) -> list[Column]:
     """n seeded 64-bit hashes of a string column.
 
-    xxhash64: ONE string hash + (n-1) splitmix64 integer mixes of it with
-    golden-ratio seed offsets — the standard minhash construction (one
-    universal hash, derived family), ~n-times less string-hash CPU than n
-    independent seeded hashes on the hot explode. md5long keeps the
-    per-seed md5 (the oracle replays it verbatim).
+    xxhash64: ONE hash of the (variable-length) string + (n-1) seeded
+    xxhash64 hashes of that fixed 8-byte long — the standard minhash
+    construction (one universal hash, derived family). The derived hashes
+    cost a constant handful of multiplies each instead of a full pass
+    over the string, so the hot explode does ~n-times less hashing work.
+    (Raw splitmix-style long arithmetic would be cheaper still but
+    overflows under ANSI mode; xxhash64-over-long wraps internally.)
+    md5long keeps the per-seed md5 (the oracle replays it verbatim).
     """
     if hash_name != "xxhash64":
         return [_hash64(col, i, hash_name) for i in range(n)]
     base = F.xxhash64(col)
-    return [
-        base if i == 0
-        else _splitmix64(base + F.lit(i * -7046029254386353131))  # 2*GOLDEN odd
-        for i in range(n)
-    ]
+    return [base if i == 0 else F.xxhash64(base, F.lit(i)) for i in range(n)]
 
 
 def dedup_exact(
@@ -127,12 +117,40 @@ def minhash_signatures(
     pass (no per-hash shuffle). ``hash_name="md5long"`` swaps the hash
     family for the cross-engine-reproducible one (module docstring).
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
-    )
-    hashes = _derived_hashes(F.col("_sh"), num_hashes, hash_name)
-    aggs = [F.min(h).alias(f"_h{i}") for i, h in enumerate(hashes)]
+    if hash_name == "xxhash64":
+        # fast path: hash each token ONCE, derive gram hashes from the
+        # token-hash triples (no gram-string construction on the hot
+        # explode), then num_hashes cheap long-hash derivations. Same
+        # minhash guarantees, different (still uniform) hash family.
+        toks = F.split(F.col(text_col), " ")
+        tok_h = F.transform(toks, lambda t: F.xxhash64(t))
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0))),
+            lambda i: F.xxhash64(
+                *[F.get(tok_h, i + j) for j in range(shingle_k)]
+            ),
+        )
+        gram_h = F.when(n >= shingle_k, grams).otherwise(
+            F.array(F.xxhash64(F.col(text_col)))
+        )
+        ex = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(gram_h)).alias("_gh"),
+        )
+        aggs = [
+            F.min(
+                F.col("_gh") if i == 0 else F.xxhash64(F.col("_gh"), F.lit(i))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        ex = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
+        )
+        hashes = _derived_hashes(F.col("_sh"), num_hashes, hash_name)
+        aggs = [F.min(h).alias(f"_h{i}") for i, h in enumerate(hashes)]
     sig = ex.groupBy("_id").agg(*aggs)
     return sig.select(
         F.col("_id").alias(id_col),
