@@ -814,6 +814,31 @@ def q_docs_quality(spark, sf_dir):
     )
 
 
+def q_docs_neardup_groups(spark, sf_dir):
+    """Near-dup CLUSTERS: md5long minhash-LSH pairs -> connected
+    components -> canonical (lowest) doc id per cluster. The oracle
+    replays the pair generation and closes the components with a
+    recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = DD.near_dup_groups(docs, num_hashes=16, bands=4, hash_name="md5long")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_docs_bpe_tokens(spark, sf_dir):
+    """BPE-style pre-tokenizer counts (letters runs / digits / marks) —
+    the approximate LLM token counter; regex constructs chosen to
+    evaluate identically under Java regex and RE2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = TS.with_bpe_token_count(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -882,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_clip": q_seg_clip,
         "wkb_roundtrip": q_wkb_roundtrip,
         "docs_quality": q_docs_quality,
+        "docs_neardup_groups": q_docs_neardup_groups,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
     }
 
 
@@ -1003,6 +1030,31 @@ v AS (
 SELECT doc_id,
        CAST({packed} AS BIGINT) AS simhash
 FROM v
+"""
+
+
+def _minhash_cc_sql() -> str:
+    """Near-dup clusters: the md5long minhash pair CTEs + a recursive-CTE
+    transitive closure; canonical = min over {self} u {reachable}."""
+    pairs_body = _minhash_sql().strip()
+    # reuse the pair query as a CTE: strip the leading WITH and the final
+    # SELECT (the CTE chain up to p is what we need)
+    assert pairs_body.startswith("WITH ") and pairs_body.endswith("SELECT a, b FROM p")
+    ctes = pairs_body[len("WITH "):-len("SELECT a, b FROM p")].rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {ctes},
+sym AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
 """
 
 
@@ -1310,6 +1362,13 @@ SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
            + 0.2 * (1.0 - least(digit_ratio * 5.0, 1.0))
            + 0.2 * (1.0 - least(upper_ratio * 5.0, 1.0)), 6) AS quality_score
 FROM r
+""",
+        "docs_neardup_groups": _minhash_cc_sql(),
+        "docs_bpe_tokens": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
     }
 

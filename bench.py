@@ -97,12 +97,16 @@ def _scaled_emb(spark):
 def bench_queries(spark):
     # repartition before checkpointing: the sf parquet tables are single
     # files, and a 1-partition input serializes every map-side stage (the
-    # shingle explode fans out ~200x on ONE core otherwise)
-    seg1 = _scaled_seg(spark, 1).repartition(CPUS * 2).localCheckpoint()
-    seg2 = _scaled_seg(spark, 2).repartition(CPUS * 2).localCheckpoint()
-    pts = _scaled_pts(spark).repartition(CPUS * 2).localCheckpoint()
+    # shingle explode fans out ~200x on ONE core otherwise). docs always
+    # (string-heavy explode dominates even at mult=1); the others only at
+    # the scale point — tiny inputs pay more in per-task/Arrow-batch
+    # overhead than they gain (measured on lsh_topk at mult=1)
+    rp = (lambda df: df.repartition(CPUS * 2)) if MULT > 1 else (lambda df: df)
+    seg1 = rp(_scaled_seg(spark, 1)).localCheckpoint()
+    seg2 = rp(_scaled_seg(spark, 2)).localCheckpoint()
+    pts = rp(_scaled_pts(spark)).localCheckpoint()
     docs = _scaled_docs(spark).repartition(CPUS * 2).localCheckpoint()
-    emb = _scaled_emb(spark).repartition(CPUS * 2).localCheckpoint()
+    emb = rp(_scaled_emb(spark)).localCheckpoint()
     dim = len(emb.select("embedding").first()[0])
     # query set stays fixed-size across MULT (rep 0 only): corpus grows
     # x MULT, so brute/LSH top-k work scales linearly, not quadratically

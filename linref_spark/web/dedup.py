@@ -407,3 +407,47 @@ def simhash_band_pairs(
         .where(F.col("a") < F.col("b"))
     )
     return pairs.select("a", "b").distinct()
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    jaccard_threshold: float | None = None,
+    hash_name: str = "xxhash64",
+    out_col: str = "canonical_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: minhash-LSH candidates
+    (optionally verified by true n-gram Jaccard >= ``jaccard_threshold``)
+    -> connected components -> each doc labeled with its cluster's lowest
+    doc id. The standard training-data dedup shape: keep rows where
+    ``doc_id == canonical_id`` to retain one representative per near-dup
+    cluster (transitively — A~B~C collapses even when A and C never
+    bucket together).
+
+    Scale: candidate generation is the capped banded self-join
+    (:func:`minhash_lsh_pairs`); components run in the DataFrame-native
+    iterative CC (:func:`linref_spark.spatial.cluster.connected_components`,
+    O(log n) rounds over the pair edges, lineage truncated per round).
+    """
+    from linref_spark.spatial.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket,
+        hash_name,
+    )
+    if jaccard_threshold is not None:
+        verified = ngram_jaccard_pairs(
+            df, text_col, id_col, shingle_k, threshold=jaccard_threshold,
+        ).select("a", "b")
+        pairs = pairs.join(verified, on=["a", "b"], how="inner")
+    nodes = df.select(F.col(id_col))
+    labeled = connected_components(
+        pairs, nodes, node_col=id_col, src_col="a", dst_col="b",
+        out_col=out_col,
+    )
+    return labeled

@@ -127,3 +127,21 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     fp = F.when(n >= 3, F.array_min(shingles)).otherwise(F.md5(t))
     return df.withColumn("fingerprint", fp)
+
+
+# BPE-ish pre-tokenizer pattern: letter runs, single digits, single
+# non-alphanumeric marks — the shape GPT-2-style byte-pair pre-splits use,
+# restricted to constructs RE2 and Java regex evaluate identically (no
+# lookarounds), so the count is SQL-oracle-able cross-engine.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Approximate LLM token count: BPE-style pre-split matches (letter
+    runs count 1 each; digits and punctuation marks count singly) —
+    a cheap, deterministic stand-in for tokenizer-exact counts at data-
+    pipeline scale. Pure JVM regexp_count."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast("long"),
+    )

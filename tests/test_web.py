@@ -278,3 +278,43 @@ def test_lsh_bucket_metrics_bands_divisibility(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         lsh_bucket_metrics(emb, dim=2, n_planes=16, bands=5)
+
+
+def test_near_dup_groups_transitive(spark):
+    """A~B and B~C must collapse into one cluster even when A and C never
+    bucket together; canonical = lowest doc id; keep-one filter yields one
+    representative per cluster."""
+    from linref_spark.web.dedup import near_dup_groups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    mid = base.replace("zeta", "zetax", 2)        # A~B and B~C overlap
+    far = mid.replace("beta", "betax", 2)          # C: near B, further from A
+    other = "one two three four five six seven eight nine ten " * 6
+    rows = [(0, base), (1, mid), (2, far), (10, other), (11, other + "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = near_dup_groups(df, num_hashes=16, bands=8)
+    lab = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert lab[0] == lab[1] == lab[2] == 0      # transitive collapse
+    assert lab[10] == lab[11] == 10             # the other cluster
+    survivors = {d for d, c in lab.items() if d == c}
+    assert survivors == {0, 10}
+
+    # jaccard verification can break spurious candidate edges
+    strict = near_dup_groups(df, num_hashes=16, bands=8, jaccard_threshold=0.99)
+    slab = {r["doc_id"]: r["canonical_id"] for r in strict.collect()}
+    assert slab[0] == 0 and slab[10] == 10
+
+
+def test_bpe_token_count_golden(spark):
+    from linref_spark.web.textstats import with_bpe_token_count
+
+    rows = [
+        (0, "Hello, world!"),          # Hello , world !        -> 4
+        (1, "abc123 x-y"),             # abc 1 2 3 x - y        -> 7
+        (2, ""),                       # empty                  -> 0
+        (3, "  spaces   only  "),      # spaces only            -> 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in with_bpe_token_count(df).collect()}
+    assert got == {0: 4, 1: 7, 2: 0, 3: 2}
