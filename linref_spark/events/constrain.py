@@ -132,6 +132,7 @@ def split_at_locs(
         expand=True,
         strategy=strategy,
         dense_ids=False,  # interval ids are dropped below; hash ids skip a sort
+        relate_layers=[0],  # index_1 is discarded below — skip its join
     )
     keys = list(lrs.key_cols)
     out = integrated.where(F.col("index_0") >= 0)

@@ -41,10 +41,20 @@ def integrate(
     expand: bool = False,
     strategy: JoinStrategy = EQUI,
     dense_ids: bool = True,
+    relate_layers: "Optional[Sequence[int]]" = None,
 ) -> DataFrame:
     """Returns the integrated interval frame with columns:
     key cols (named as in the first frame), ``beg``, ``end``, ``event_id``,
     and one ``index_{i}`` column per input layer (long; -1 = no match).
+
+    ``relate_layers`` limits which layers get the relate-back join (the
+    expensive half of integrate): every layer still contributes EDGES, but
+    layers not listed get a constant ``index_i = -1`` instead of an
+    intersect-pairs pass, and the ``fill_gaps=False`` keep-filter runs
+    over the related layers only. Callers that discard some index columns
+    (split_at_locs keeps only the subject layer's) skip one full interval
+    join + aggregation per unrelated layer — and, under ``expand``, the
+    row cross-product with that layer's matches.
     """
     if not frames:
         raise ValueError("Must provide at least one event frame.")
@@ -116,13 +126,14 @@ def integrate(
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------
+    related = (
+        set(range(len(frames))) if relate_layers is None else set(relate_layers)
+    )
     out = intervals
     for i, (df, lrs) in enumerate(frames):
         idx_col = f"index_{i}"
-        if not lrs.is_linear:
+        if not lrs.is_linear or i not in related:
             out = out.withColumn(idx_col, F.lit(-1).cast("long"))
-            if expand:
-                out = out.withColumn(idx_col, F.col(idx_col))  # scalar stays
             continue
         pairs = intersect_pairs(
             intervals, df, ilrs, lrs, enforce_edges=False, strategy=strategy
@@ -145,10 +156,11 @@ def integrate(
             arr = F.coalesce(F.col("_m"), F.array(F.lit(-1).cast("long")))
             out = out.withColumn(idx_col, F.explode(arr)).drop("_m")
 
-    idx_cols = [f"index_{i}" for i in range(len(frames))]
     any_match = None
-    for c in idx_cols:
-        m = F.col(c) >= 0
+    for i, (df, lrs) in enumerate(frames):
+        if not lrs.is_linear or i not in related:
+            continue
+        m = F.col(f"index_{i}") >= 0
         any_match = m if any_match is None else (any_match | m)
     if not fill_gaps and any_match is not None:
         out = out.where(any_match)
