@@ -839,6 +839,42 @@ def q_docs_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ serving plan with FIXED embedding-derived codebooks (normalized
+    subvectors of vec_id % 10 == 3, lowest 16): the oracle replays the
+    per-subspace encoding (argmin code), the LUT approximate scores, the
+    top-R candidate cut, and the exact re-rank. PQ codebook TRAINING
+    (k-means) stays pytest-gated like IVF training."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    m = 8
+    assert dim % m == 0
+    sub = dim // m
+    crows = (
+        emb.where(F.col("vec_id") % 10 == 3)
+        .orderBy("vec_id").limit(16).select("embedding").collect()
+    )
+    V = np.zeros((len(crows), dim), dtype=np.float64)
+    for ci, r in enumerate(crows):
+        V[ci, :] = np.asarray(r["embedding"], dtype=np.float64)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    books = np.stack(
+        [V[:, j * sub : (j + 1) * sub] for j in range(m)]
+    )  # (m, 16, sub)
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    out = ANN.pq_topk(
+        emb, queries, dim=dim, k=5, m=m, n_codes=16, rerank_factor=4,
+        codebooks=books,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -909,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_neardup_groups": q_docs_neardup_groups,
         "docs_bpe_tokens": q_docs_bpe_tokens,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -1364,6 +1401,62 @@ SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
 FROM r
 """,
         "docs_neardup_groups": _minhash_cc_sql(),
+        "ann_pq_topk": """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, ev,
+         list_transform(ev, x -> x / sqrt(list_sum(
+           list_transform(ev, y -> y * y)))) AS nv
+  FROM corpus
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, nv AS cv
+  FROM (SELECT * FROM nrm WHERE vec_id % 10 = 3 ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+enc AS (
+  SELECT v.vec_id, s.j, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id, s.j
+           ORDER BY list_distance(list_slice(v.nv, s.j * 8 + 1, s.j * 8 + 8),
+                                  list_slice(c.cv, s.j * 8 + 1, s.j * 8 + 8))
+                    ASC, c.cid ASC) AS rn
+  FROM nrm v, subs s, cent c
+),
+code AS (SELECT vec_id, j, cid FROM enc WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, nv AS qv, ev AS qe FROM nrm WHERE vec_id % 500 = 0),
+approxs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         sum(list_dot_product(
+           list_slice(q.qv, c.j * 8 + 1, c.j * 8 + 8),
+           list_slice(ct.cv, c.j * 8 + 1, c.j * 8 + 8))) AS approx
+  FROM code c
+  JOIN cent ct ON ct.cid = c.cid
+  CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, neighbor_id ASC) AS rn
+    FROM approxs
+  ) WHERE rn <= 20
+),
+rer AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         row_number() OVER (PARTITION BY cd.query_id
+           ORDER BY list_cosine_similarity(e.ev, q2.qe) DESC,
+                    cd.neighbor_id ASC) AS rank
+  FROM cand cd
+  JOIN corpus e ON e.vec_id = cd.neighbor_id
+  JOIN q q2 ON q2.query_id = cd.query_id
+)
+SELECT query_id, neighbor_id, rank FROM rer WHERE rank <= 5
+""",
         "docs_bpe_tokens": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))

@@ -35,7 +35,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -497,4 +503,231 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos")
+    )
+
+
+# --- PQ (product quantization) ANN ----------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks: (m, n_codes, dim/m) float64.
+
+    Trained on the same bounded deterministic sample protocol as
+    :func:`train_ivf_centroids` (lowest-id rows — stable under any
+    partitioning); vectors are L2-normalized first so PQ approximates the
+    UNIT vector and summed sub-dots approximate cosine directly.
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col))
+        .limit(sample_size).collect()
+    )
+    X = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        a = np.asarray(r[vec_col], dtype=np.float64)
+        X[i, : min(len(a), dim)] = a[:dim]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xi = X[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(Xi))
+        C = Xi[rng.choice(len(Xi), size=kk, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = Xi[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :kk] = C
+        if kk < n_codes:
+            books[j, kk:] = C[0]  # pad (never the argmin winner twice)
+    return books
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to m uint8-range codes (array<int>): per subspace,
+    the nearest codebook row of the L2-normalized vector. One matmul per
+    (batch, subspace) — 100 TB of float embeddings become m bytes/vector."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    dim = m * sub
+    norms2 = (books**2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        n = len(v)
+        X = np.zeros((n, dim), dtype=np.float64)
+        null = np.zeros(n, dtype=bool)
+        for i, row in enumerate(v):
+            if row is None:
+                null[i] = True
+                continue
+            a = np.asarray(row, dtype=np.float64)
+            X[i, : min(len(a), dim)] = a[:dim]
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((n, m), dtype=np.int64)
+        for j in range(m):
+            Xi = X[:, j * sub : (j + 1) * sub]
+            # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c)
+            codes[:, j] = (norms2[j][None, :] - 2.0 * (Xi @ books[j].T)).argmin(1)
+        return pd.Series([None if null[i] else codes[i] for i in range(n)])
+
+    return df.withColumn(out_col, _encode(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10000,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    codebooks: np.ndarray | None = None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation and exact
+    re-ranking — the memory-bounded scale path: the scored representation
+    is m bytes per corpus vector, so even corpora whose float embeddings
+    dwarf cluster memory scan from compact codes.
+
+    Plan shape (the part that matters at 100 TB):
+
+    1. encode the corpus once (:func:`with_pq_codes`);
+    2. every partition scores ALL queries against its codes via per-query
+       (m x n_codes) lookup tables (one numpy gather per batch) and emits
+       only its LOCAL top ``k * rerank_factor`` rows per query — the
+       classic partial-top-k tree: shuffle volume is partitions x queries
+       x R rows, never corpus x queries;
+    3. a per-query window keeps the global candidate top R;
+    4. candidates join back to their float vectors for exact cosine
+       re-ranking (deterministic ties by neighbor id).
+    """
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"pq_topk: query table exceeds max_queries={max_queries}; "
+            "the per-partition scoring broadcasts all query LUTs."
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m, n_codes, sample_size, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, ncodes, sub = books.shape
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.zeros((len(qrows), mm * sub), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        a = np.asarray(r[vec_col], dtype=np.float64)
+        Q[i, : min(len(a), mm * sub)] = a[: mm * sub]
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # per-query LUT: lut[q, j, c] = dot(q_j, codebook[j][c]) — summed over
+    # j this approximates cosine(q, x) for normalized x
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(qrows), mm, sub), books)
+    R = k * rerank_factor
+    spark = corpus.sparkSession
+    b_lut = spark.sparkContext.broadcast((qids, lut))
+
+    coded = with_pq_codes(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        books, vec_col, "pq_code",
+    ).select("neighbor_id", "pq_code")
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("approx", DoubleType()),
+    ])
+
+    def score_partition(batches):
+        qids_l, lut_l = b_lut.value
+        nq = len(qids_l)
+        best_scores = [[] for _ in range(nq)]  # per query: (score, id) heaps
+        import heapq
+
+        jj = np.arange(mm)
+        for pdf in batches:
+            ids = pdf["neighbor_id"].to_numpy()
+            codes = np.stack(pdf["pq_code"].to_numpy())  # (n, m)
+            for qi in range(nq):
+                s = lut_l[qi][jj[None, :], codes].sum(axis=1)  # (n,)
+                mask = ids != qids_l[qi]
+                sv, iv = s[mask], ids[mask]
+                if len(sv) > R:  # vectorized batch-local top-R first
+                    part = np.argpartition(-sv, R - 1)[:R]
+                    sv, iv = sv[part], iv[part]
+                h = best_scores[qi]
+                for sc, nid in zip(sv, iv):  # <= R python iterations
+                    if len(h) < R:
+                        heapq.heappush(h, (float(sc), int(nid)))
+                    elif sc > h[0][0]:
+                        heapq.heapreplace(h, (float(sc), int(nid)))
+        rows = {
+            "query_id": [], "neighbor_id": [], "approx": [],
+        }
+        for qi in range(nq):
+            for sc, nid in best_scores[qi]:
+                rows["query_id"].append(int(qids_l[qi]))
+                rows["neighbor_id"].append(nid)
+                rows["approx"].append(float(sc))
+        yield pd.DataFrame(rows)
+
+    partials = coded.mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = partials.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= R
+    ).drop("_rn", "approx")
+
+    # exact re-rank on the candidates' float vectors
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = cand.join(vecs, on="neighbor_id").join(F.broadcast(q), on="query_id")
+    scored = scored.withColumn(
+        "cos",
+        cosine(
+            F.transform(F.col("_qv"), lambda v: v.cast("double")),
+            F.transform(F.col("_cv"), lambda v: v.cast("double")),
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias(query_id_col), "neighbor_id", "rank", "cos"
+        )
     )

@@ -318,3 +318,44 @@ def test_bpe_token_count_golden(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in with_bpe_token_count(df).collect()}
     assert got == {0: 4, 1: 7, 2: 0, 3: 2}
+
+
+def test_pq_topk_recall(spark):
+    """PQ + exact re-rank: recall@10 >= 0.9 vs brute force on the
+    clustered corpus; codebook training deterministic; encoded codes are
+    m small ints per vector (the 100 TB memory story)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    dim, n_clusters, per = 64, 16, 15
+    rows = []
+    for c in range(n_clusters):
+        base = rng.normal(size=dim)
+        for i in range(per):
+            v = base + rng.normal(scale=0.05, size=dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id % 15 = 0")
+    brute = {}
+    for r in ANN.cosine_topk(df, queries, k=10).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    books = ANN.train_pq_codebooks(df, dim, m=8, n_codes=32, seed=5)
+    books2 = ANN.train_pq_codebooks(df, dim, m=8, n_codes=32, seed=5)
+    assert np.array_equal(books, books2)  # deterministic training
+    coded = ANN.with_pq_codes(df, books)
+    first = coded.select("pq_code").first()[0]
+    assert len(first) == 8 and all(0 <= c < 32 for c in first)
+
+    out = ANN.pq_topk(df, queries, dim=dim, k=10, m=8, n_codes=32,
+                      rerank_factor=4, codebooks=books)
+    approx = {}
+    for r in out.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        ANN.pq_topk(df, df, dim=dim, k=2, max_queries=5)
