@@ -47,6 +47,26 @@ def canonical_order_cols(lrs: LRS) -> list[str]:
     return cols
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Pin a DataFrame's contents for consistent multi-branch reuse.
+
+    Uses eager ``localCheckpoint`` by default (reference-tracked blocks, no
+    CacheManager pinning). CAVEAT: localCheckpoint truncates lineage onto
+    NON-REPLICATED executor-local blocks — on a multi-node cluster an
+    executor loss (or dynamic-allocation decommission) permanently fails
+    every downstream job over the frame instead of recomputing, and the
+    eager cut also turns lazy plan construction into an immediate job. For
+    cluster deployments, call ``spark.sparkContext.setCheckpointDir(...)``
+    first: this helper then upgrades to RELIABLE ``checkpoint()`` (blocks on
+    fault-tolerant storage, survives executor loss) at the cost of a
+    write-out. Local mode keeps the cheap path.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def global_ordinal_id(
     df: DataFrame,
     order_cols: Sequence,
@@ -83,7 +103,10 @@ def global_ordinal_id(
     silently corrupting the offsets. The eager ``localCheckpoint`` below
     makes both branches read one shared materialization (one partitioner,
     computed exactly once; MEMORY_AND_DISK blocks); it is what makes the
-    ordinal correct, not an optimization. Unlike ``persist`` (whose
+    ordinal correct, not an optimization. See :func:`materialize` for the
+    executor-loss caveat and the reliable-checkpoint opt-in for clusters
+    (set a checkpoint dir and this path upgrades automatically). Unlike
+    ``persist`` (whose
     InMemoryRelation lives in the CacheManager until an explicit
     unpersist), checkpoint blocks are reference-tracked: once the caller
     drops the returned DataFrame, the ContextCleaner reclaims them — so
@@ -107,7 +130,8 @@ def global_ordinal_id(
         .withColumn("_ord_pid", F.shiftright(F.col("_ord_mid"), 33))
         .withColumn("_ord_local", F.col("_ord_mid").bitwiseAND(F.lit(mask33)))
         .drop("_ord_mid")
-    ).localCheckpoint(eager=True)
+    )
+    part = materialize(part)
     counts = part.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
     w_off = Window.orderBy("_ord_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -262,10 +286,13 @@ def assert_dense_ids(df: DataFrame, caller: str) -> None:
         F.min(F.col(EVENT_ID)).alias("mn"),
         F.max(F.col(EVENT_ID)).alias("mx"),
         F.count(F.lit(1)).alias("n"),
+        # min/max/count alone is necessary but not sufficient: {0,1,1,3}
+        # passes yet breaks the +/-1 adjacency join — distinctness closes it
+        F.countDistinct(F.col(EVENT_ID)).alias("nd"),
     ).first()
     if row["n"] == 0:
         return
-    if row["mn"] != 0 or row["mx"] != row["n"] - 1:
+    if row["mn"] != 0 or row["mx"] != row["n"] - 1 or row["nd"] != row["n"]:
         raise ValueError(
             f"{caller} requires dense 0..n-1 event ids (got min={row['mn']}, "
             f"max={row['mx']}, n={row['n']}). Mint ids with add_event_id "

@@ -106,14 +106,19 @@ def integrate(
         # 128-bit md5 of the natural tuple: at the 10^12-row target a
         # 64-bit hash expects ~tens of thousands of birthday-colliding
         # pairs, which would silently conflate unrelated intervals in the
-        # relate-back; 2^128 makes collisions negligible. The separator
-        # byte keeps concat_ws injective for the key tuple.
+        # relate-back; 2^128 makes collisions negligible. concat_ws silently
+        # DROPS null elements, so a bare join would conflate (null,'b') with
+        # ('b',null); coalescing each key to a sentinel keeps every position
+        # occupied and the separator byte then makes the encoding injective.
         intervals = intervals.withColumn(
             EVENT_ID,
             F.md5(
                 F.concat_ws(
                     "\x1f",
-                    *[F.col(k).cast("string") for k in keys],
+                    *[
+                        F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+                        for k in keys
+                    ],
                     F.col("beg").cast("string"),
                 )
             ),
@@ -121,8 +126,12 @@ def integrate(
         # reference-tracked materialization (reused by every layer's
         # relate-back below); unlike .cache() this does not pin a
         # CacheManager entry for the session lifetime — blocks are
-        # reclaimed when the caller drops the plan
-        intervals = intervals.localCheckpoint(eager=True)
+        # reclaimed when the caller drops the plan. materialize() upgrades
+        # to reliable checkpoint() when a checkpoint dir is set (cluster
+        # executor-loss safety — see events/frame.py:materialize).
+        from linref_spark.events.frame import materialize
+
+        intervals = materialize(intervals)
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------

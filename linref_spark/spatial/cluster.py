@@ -17,8 +17,9 @@ From-scratch Spark re-expression of ``LRS_Accessor.cluster``
 Connected components runs iteratively in DataFrames (no GraphFrames
 dependency): alternating min-label propagation over edges with pointer
 jumping (label <- label of label), converging in O(log n) rounds; each round
-is two shuffles. Lineage is truncated per round with localCheckpoint so plans
-stay bounded.
+is two shuffles. Lineage is truncated per round with
+:func:`linref_spark.events.frame.materialize` (localCheckpoint locally;
+reliable checkpoint when a checkpoint dir is set) so plans stay bounded.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from linref_spark.events.frame import global_ordinal_id
+from linref_spark.events.frame import global_ordinal_id, materialize
 from linref_spark.events.modify import extend as extend_events
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.relate.join import EQUI, JoinStrategy, intersect_pairs
@@ -53,11 +54,11 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    sym = materialize(sym.where(F.col("a") != F.col("b")).distinct())
 
-    labels = nodes.select(
+    labels = materialize(nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
-    ).localCheckpoint()
+    ))
 
     for _ in range(max_iter):
         # neighbor-min propagation
@@ -71,10 +72,9 @@ def connected_components(
         )
         # pointer jumping: lbl <- lbl(lbl)
         jump = new.select(F.col("n").alias("n2"), F.col("lbl").alias("lbl2"))
-        new = (
+        new = materialize(
             new.join(jump, on=F.col("lbl") == F.col("n2"), how="left")
             .select("n", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
-            .localCheckpoint()
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "old"), on="n")

@@ -618,11 +618,12 @@ def pq_topk(
     Plan shape (the part that matters at 100 TB):
 
     1. encode the corpus once (:func:`with_pq_codes`);
-    2. every partition scores ALL queries against its codes via per-query
-       (m x n_codes) lookup tables (one numpy gather per batch) and emits
-       only its LOCAL top ``k * rerank_factor`` rows per query — the
-       classic partial-top-k tree: shuffle volume is partitions x queries
-       x R rows, never corpus x queries;
+    2. every partition scores ALL queries against its codes via (m x
+       n_codes) lookup tables — one (query-chunk x batch) gather per
+       subspace, vectorized across queries and memory-bounded by chunking
+       — and emits only its LOCAL top ``k * rerank_factor`` rows per query:
+       the classic partial-top-k tree, shuffle volume is partitions x
+       queries x R rows, never corpus x queries;
     3. a per-query window keeps the global candidate top R;
     4. candidates join back to their float vectors for exact cosine
        re-ranking (deterministic ties by neighbor id).
@@ -668,35 +669,51 @@ def pq_topk(
     def score_partition(batches):
         qids_l, lut_l = b_lut.value
         nq = len(qids_l)
-        best_scores = [[] for _ in range(nq)]  # per query: (score, id) heaps
-        import heapq
+        # running per-query top-R, fully array-form: (nq, R) score/id tables
+        # seeded with -inf / -1 sentinels (dropped on emit)
+        best_s = np.full((nq, R), -np.inf, dtype=np.float64)
+        best_i = np.full((nq, R), -1, dtype=np.int64)
+        # bound the (q_chunk x batch) score matrix to ~32M float64 (~256 MB)
+        score_budget = 32_000_000
 
-        jj = np.arange(mm)
         for pdf in batches:
-            ids = pdf["neighbor_id"].to_numpy()
-            codes = np.stack(pdf["pq_code"].to_numpy())  # (n, m)
-            for qi in range(nq):
-                s = lut_l[qi][jj[None, :], codes].sum(axis=1)  # (n,)
-                mask = ids != qids_l[qi]
-                sv, iv = s[mask], ids[mask]
-                if len(sv) > R:  # vectorized batch-local top-R first
-                    part = np.argpartition(-sv, R - 1)[:R]
-                    sv, iv = sv[part], iv[part]
-                h = best_scores[qi]
-                for sc, nid in zip(sv, iv):  # <= R python iterations
-                    if len(h) < R:
-                        heapq.heappush(h, (float(sc), int(nid)))
-                    elif sc > h[0][0]:
-                        heapq.heapreplace(h, (float(sc), int(nid)))
-        rows = {
-            "query_id": [], "neighbor_id": [], "approx": [],
-        }
-        for qi in range(nq):
-            for sc, nid in best_scores[qi]:
-                rows["query_id"].append(int(qids_l[qi]))
-                rows["neighbor_id"].append(nid)
-                rows["approx"].append(float(sc))
-        yield pd.DataFrame(rows)
+            keep = pdf["pq_code"].notna()  # null embedding -> null code: skip
+            if not keep.all():
+                pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            n = len(ids)
+            q_chunk = max(1, score_budget // max(n, 1))
+            for q0 in range(0, nq, q_chunk):
+                q1 = min(q0 + q_chunk, nq)
+                # S[q, i] = sum_j lut[q, j, codes[i, j]] — one (qc, n)
+                # gather per subspace, all queries of the chunk at once
+                S = lut_l[q0:q1, 0, codes[:, 0]]
+                for j in range(1, mm):
+                    S = S + lut_l[q0:q1, j, codes[:, j]]
+                # self-match mask (query scoring itself)
+                S = np.where(
+                    qids_l[q0:q1, None] == ids[None, :], -np.inf, S
+                )
+                cat_s = np.concatenate([best_s[q0:q1], S], axis=1)
+                cat_i = np.concatenate(
+                    [best_i[q0:q1], np.broadcast_to(ids, (q1 - q0, n))], axis=1
+                )
+                part = np.argpartition(-cat_s, R - 1, axis=1)[:, :R]
+                best_s[q0:q1] = np.take_along_axis(cat_s, part, axis=1)
+                best_i[q0:q1] = np.take_along_axis(cat_i, part, axis=1)
+
+        valid = best_i >= 0
+        qcol = np.broadcast_to(qids_l[:, None], (nq, R))[valid]
+        yield pd.DataFrame(
+            {
+                "query_id": qcol,
+                "neighbor_id": best_i[valid],
+                "approx": best_s[valid],
+            }
+        )
 
     partials = coded.mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(

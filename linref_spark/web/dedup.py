@@ -339,7 +339,9 @@ def simhash(
     Pure expressions: explode tokens, per-bit +1/-1 votes from the token
     hash bits, sum, sign -> packed bigint. One explode + one groupBy.
     ``hash_name="md5long"`` uses the cross-engine hash (60 usable bits, so
-    the simhash is 60-bit; band structure adapts in the pair functions).
+    the simhash is 60-bit; pass the same ``hash_name`` to
+    :func:`simhash_band_pairs` / :func:`simhash_drop_metrics` so band
+    derivation matches — they default to xxhash64 like this function).
     """
     n_bits = 64 if hash_name == "xxhash64" else 60
     ex = df.select(
@@ -362,14 +364,22 @@ def simhash(
     return votes.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
-def _simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    sh = simhash(df, text_col, id_col)
+def _simhash_buckets(
+    df: DataFrame, text_col: str, id_col: str, hash_name: str = "xxhash64"
+) -> DataFrame:
+    # Band width follows the signature width: 4x16 bits for the 64-bit
+    # xxhash64 family, 4x15 bits for the 60-bit cross-engine md5long family,
+    # so hamming<=3 pigeonhole coverage holds for either signature.
+    sh = simhash(df, text_col, id_col, hash_name)
+    n_bits = 64 if hash_name == "xxhash64" else 60
+    width = n_bits // 4
+    mask = (1 << width) - 1
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), width * b)
+                .bitwiseAND(F.lit(mask))
                 .alias("bucket"),
             )
             for b in range(4)
@@ -383,20 +393,23 @@ def _simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_drop_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_bucket: int = 1000,
+    max_bucket: int = 1000, hash_name: str = "xxhash64",
 ) -> DataFrame:
     """What :func:`simhash_band_pairs` drops under the same cap."""
-    return bucket_drop_metrics(_simhash_buckets(df, text_col, id_col), max_bucket)
+    return bucket_drop_metrics(
+        _simhash_buckets(df, text_col, id_col, hash_name), max_bucket
+    )
 
 
 def simhash_band_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_bucket: int = 1000,
+    max_bucket: int = 1000, hash_name: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit simhash band (catches all
-    pairs with hamming distance <= 3 by pigeonhole). Buckets above
-    ``max_bucket`` are dropped — audit with :func:`simhash_drop_metrics`."""
-    buckets = _simhash_buckets(df, text_col, id_col)
+    """Near-dup candidates: docs sharing any simhash band (4 bands of
+    16 bits for xxhash64, 15 bits for md5long — catches all pairs with
+    hamming distance <= 3 by pigeonhole). Buckets above ``max_bucket`` are
+    dropped — audit with :func:`simhash_drop_metrics` (same ``hash_name``)."""
+    buckets = _simhash_buckets(df, text_col, id_col, hash_name)
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")

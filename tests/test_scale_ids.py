@@ -348,8 +348,10 @@ def test_ordinal_storage_reclaimed(spark):
         del out
 
     # 6 iterations x 2 ordinal calls each would have left ~12 pinned
-    # entries under the old persist(); reference tracking keeps it bounded
-    settled = settle(baseline + 4)
+    # entries under the old persist(); reference tracking keeps it bounded.
+    # ContextCleaner runs asynchronously — under a loaded host (full-suite
+    # runs) reclamation can take minutes, so the window is generous.
+    settled = settle(baseline + 4, seconds=240)
     assert settled <= baseline + 4, (baseline, settled)
 
 

@@ -84,6 +84,24 @@ def test_simhash_bands(spark, docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_bands_md5long(spark, docs):
+    # pair functions must derive bands from the SAME hash family as the
+    # signatures (4x15-bit bands for the 60-bit md5long simhash)
+    sh = {
+        r.doc_id: r.simhash
+        for r in DD.simhash(docs, hash_name="md5long").collect()
+    }
+    assert sh[0] == sh[1]
+    assert 0 <= max(sh.values()) < (1 << 60)
+    pairs = {
+        (r.a, r.b)
+        for r in DD.simhash_band_pairs(docs, hash_name="md5long").collect()
+    }
+    assert (0, 1) in pairs
+    m = DD.simhash_drop_metrics(docs, hash_name="md5long").first()
+    assert m.n_buckets >= 1
+
+
 def test_token_stats_and_quality(spark, docs):
     out = TS.with_quality_score(TS.with_token_stats(docs))
     rows = {r.doc_id: r for r in out.collect()}
