@@ -875,6 +875,86 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def _match_fixture(spark, sf_dir):
+    """Axis-aligned matcher fixture with closed-form scores.
+
+    Targets (nation): horizontal segments spanning x in [0, 100] at
+    y = band*1000 + lvl*3 (band = rid % 5, lvl = rid // 5) with m = x.
+    Projected (supplier): horizontal segments x in [a, a+20] (contained in
+    every same-band target's span) at y = band*1000 + 1 + sid % 2. The
+    Hausdorff distance to a containing parallel target and every sample
+    distance is EXACTLY |y_p - y_t| (an integer), endpoint projections are
+    exactly x, so beg_m/end_m = a / a+20 — all SQL-replayable. Bands are
+    1000 apart so cross-band pairs exceed every distance threshold."""
+    from linref_spark.geometry.udfs import add_geom_m, geom_m_struct
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rid = F.col("n_nationkey").cast("long")
+    ty = (rid % 5 * 1000 + F.floor(rid / 5) * 3).cast("double")
+    targets = n.select(
+        rid.alias("rid"),
+        F.lit(0.0).alias("beg"),
+        F.lit(100.0).alias("end"),
+        F.array(F.lit(0.0), F.lit(100.0)).alias("geom_xs"),
+        F.array(ty, ty).alias("geom_ys"),
+    )
+    tlrs = LRS(key_cols=("rid",), beg_col="beg", end_col="end")
+    targets = add_geom_m(add_event_id(targets, order_by=["rid"]), tlrs)
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sid = F.col("s_suppkey").cast("long")
+    py = (sid % 5 * 1000 + 1 + sid % 2).cast("double")
+    a = (sid % 37).cast("double")
+    proj = s.select(
+        sid.alias("event_id"),
+        geom_m_struct(
+            F.array(a, a + 20.0),
+            F.array(py, py),
+            F.array(F.lit(0.0), F.lit(20.0)),
+        ).alias("geom_m"),
+    )
+    return targets, proj, tlrs
+
+
+def q_match_hausdorff(spark, sf_dir):
+    """match_lines_hausdorff (ext/spatial.py:16-273) on the axis-aligned
+    fixture: score = |y offset| exactly, endpoint measures = x, top-2
+    candidates per projected line."""
+    from linref_spark.spatial.match import match_lines_hausdorff
+
+    targets, proj, tlrs = _match_fixture(spark, sf_dir)
+    out = match_lines_hausdorff(targets, proj, tlrs, buffer=15.0, match=2)
+    return out.select(
+        F.col("event_id").alias("sid"),
+        F.col("rid").cast("long").alias("rid"),
+        F.round("hausdorff", 6).alias("hausdorff"),
+        F.round("beg_m", 6).alias("beg_m"),
+        F.round("end_m", 6).alias("end_m"),
+        F.col("match_rank").cast("long").alias("match_rank"),
+    )
+
+
+def q_match_samples(spark, sf_dir):
+    """parallel_project_samples (ext/spatial.py:276-559) on the same
+    fixture: 3 samples all at |y offset| from a containing parallel target,
+    so n_hits = 3 and mean_dist = |y offset| exactly; choose top-2."""
+    from linref_spark.spatial.match import parallel_project_samples
+
+    targets, proj, tlrs = _match_fixture(spark, sf_dir)
+    out = parallel_project_samples(
+        targets, proj, tlrs, buffer=15.0, samples=3, match="all", choose=2
+    )
+    return out.select(
+        F.col("event_id").alias("sid"),
+        F.col("rid").cast("long").alias("rid"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round("mean_dist", 6).alias("mean_dist"),
+        F.round("beg_m", 6).alias("beg_m"),
+        F.round("end_m", 6).alias("end_m"),
+        F.col("match_rank").cast("long").alias("match_rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: HIN-style pipeline — derive segments + point events,
     dissolve, resegment, relate points, distribute scores (sf0.001)."""
@@ -946,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_groups": q_docs_neardup_groups,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "ann_pq_topk": q_ann_pq_topk,
+        "match_hausdorff": q_match_hausdorff,
+        "match_samples": q_match_samples,
     }
 
 
@@ -1462,6 +1544,59 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+""",
+        # matcher fixture: horizontal target at y = band*1000 + lvl*3 and
+        # horizontal projected line (x in [a, a+20] contained in [0, 100])
+        # at y = band*1000 + 1 + sid % 2 — Hausdorff / every sample
+        # distance = |y_p - y_t| exactly, endpoint measures = x exactly
+        "match_hausdorff": """
+WITH t AS (
+  SELECT n_nationkey AS rid, n_nationkey % 5 AS band,
+         CAST(n_nationkey % 5 * 1000 + n_nationkey // 5 * 3 AS DOUBLE) AS ty
+  FROM nation
+),
+p AS (
+  SELECT s_suppkey AS sid, s_suppkey % 5 AS band,
+         CAST(s_suppkey % 5 * 1000 + 1 + s_suppkey % 2 AS DOUBLE) AS py,
+         CAST(s_suppkey % 37 AS DOUBLE) AS a
+  FROM supplier
+),
+c AS (
+  SELECT sid, rid, abs(py - ty) AS hd, a, a + 20.0 AS b,
+         row_number() OVER (
+           PARTITION BY sid ORDER BY abs(py - ty), rid
+         ) AS rk
+  FROM p JOIN t USING (band)
+)
+SELECT CAST(sid AS BIGINT) AS sid, CAST(rid AS BIGINT) AS rid,
+       round(hd, 6) AS hausdorff, round(a, 6) AS beg_m,
+       round(b, 6) AS end_m, CAST(rk AS BIGINT) AS match_rank
+FROM c WHERE rk <= 2
+""",
+        "match_samples": """
+WITH t AS (
+  SELECT n_nationkey AS rid, n_nationkey % 5 AS band,
+         CAST(n_nationkey % 5 * 1000 + n_nationkey // 5 * 3 AS DOUBLE) AS ty
+  FROM nation
+),
+p AS (
+  SELECT s_suppkey AS sid, s_suppkey % 5 AS band,
+         CAST(s_suppkey % 5 * 1000 + 1 + s_suppkey % 2 AS DOUBLE) AS py,
+         CAST(s_suppkey % 37 AS DOUBLE) AS a
+  FROM supplier
+),
+c AS (
+  SELECT sid, rid, abs(py - ty) AS md, a, a + 20.0 AS b,
+         row_number() OVER (
+           PARTITION BY sid ORDER BY abs(py - ty), rid
+         ) AS rk
+  FROM p JOIN t USING (band)
+)
+SELECT CAST(sid AS BIGINT) AS sid, CAST(rid AS BIGINT) AS rid,
+       CAST(3 AS BIGINT) AS n_hits, round(md, 6) AS mean_dist,
+       round(a, 6) AS beg_m, round(b, 6) AS end_m,
+       CAST(rk AS BIGINT) AS match_rank
+FROM c WHERE rk <= 2
 """,
     }
 

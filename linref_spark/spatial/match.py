@@ -98,24 +98,19 @@ def _make_match_udf(densify):
     return udf_match
 
 
-def match_lines_hausdorff(
+def _hausdorff_candidates(
     target: DataFrame,
     projected: DataFrame,
     target_lrs: LRS,
     buffer: float,
-    max_distance: float | None = None,
-    match: int = 1,
-    densify: float | None = None,
-    res: int = 6,
-    geom_col: str = "geom_m",
-    proj_geom_col: str = "geom_m",
-    batch_cluster: bool = True,
-) -> DataFrame:
-    """Returns projected rows matched to targets with columns:
-    target keys, ``beg_m``, ``end_m``, ``hausdorff``, ``match_rank``.
-    """
-    if max_distance is None:
-        max_distance = buffer
+    res: int,
+    geom_col: str,
+    proj_geom_col: str,
+):
+    """Candidate (projected, target) pairs for the Hausdorff matcher:
+    targets whose buffered tile cover is reached by BOTH endpoints of the
+    projected geometry (spatial.py step 1). Shared by the matcher and its
+    drop-metrics companion so both audit the same candidate set."""
     if EVENT_ID not in projected.columns:
         raise ValueError("projected frame needs an event_id column")
     keys = list(target_lrs.key_cols)
@@ -160,7 +155,6 @@ def match_lines_hausdorff(
     )
 
     hits = ends.join(tt, on="tile_id").drop("tile_id")
-    # candidate = target row reached by BOTH endpoints (spatial.py step 1)
     cand = (
         hits.groupBy("_pid", "_tid")
         .agg(
@@ -172,6 +166,76 @@ def match_lines_hausdorff(
         .where(F.col("_ne") == 2)
         .drop("_ne")
     )
+    return cand, keys
+
+
+def match_candidate_metrics(
+    target: DataFrame,
+    projected: DataFrame,
+    target_lrs: LRS,
+    buffer: float,
+    max_candidates: int = 10_000,
+    res: int = 6,
+    geom_col: str = "geom_m",
+    proj_geom_col: str = "geom_m",
+) -> DataFrame:
+    """Audit of :func:`match_lines_hausdorff`'s per-target candidate cap
+    (the dedup drop-metrics pattern): one row — n_targets,
+    n_capped_targets (targets whose candidate count exceeds the cap) and
+    n_dropped_candidates (pairs the capped run skips). Run this alongside
+    a capped match to quantify what a pathological flood target loses."""
+    cand, _ = _hausdorff_candidates(
+        target, projected, target_lrs, buffer, res, geom_col, proj_geom_col
+    )
+    sizes = cand.groupBy("_tid").agg(F.count("*").alias("_n"))
+    return sizes.agg(
+        F.count("*").alias("n_targets"),
+        F.sum((F.col("_n") > max_candidates).cast("long")).alias(
+            "n_capped_targets"
+        ),
+        F.sum(
+            F.when(
+                F.col("_n") > max_candidates, F.col("_n") - max_candidates
+            ).otherwise(F.lit(0))
+        ).alias("n_dropped_candidates"),
+    )
+
+
+def match_lines_hausdorff(
+    target: DataFrame,
+    projected: DataFrame,
+    target_lrs: LRS,
+    buffer: float,
+    max_distance: float | None = None,
+    match: int = 1,
+    densify: float | None = None,
+    res: int = 6,
+    geom_col: str = "geom_m",
+    proj_geom_col: str = "geom_m",
+    batch_cluster: bool = True,
+    max_candidates: int | None = None,
+) -> DataFrame:
+    """Returns projected rows matched to targets with columns:
+    target keys, ``beg_m``, ``end_m``, ``hausdorff``, ``match_rank``.
+
+    ``max_candidates`` caps the candidate pairs scored PER TARGET (lowest
+    projected event ids kept, deterministic): a pathological flood target —
+    10^6 projected lines landing on one geometry — otherwise serializes
+    into a single task's Arrow batches. Dropped pairs are auditable with
+    :func:`match_candidate_metrics` under the same cap.
+    """
+    if max_distance is None:
+        max_distance = buffer
+    cand, keys = _hausdorff_candidates(
+        target, projected, target_lrs, buffer, res, geom_col, proj_geom_col
+    )
+    if max_candidates is not None:
+        w_cap = Window.partitionBy("_tid").orderBy(F.col("_pid").asc())
+        cand = (
+            cand.withColumn("_cn", F.row_number().over(w_cap))
+            .where(F.col("_cn") <= max_candidates)
+            .drop("_cn")
+        )
 
     if batch_cluster:
         # co-locate candidates of one target inside Arrow batches so the

@@ -152,6 +152,41 @@ def test_parallel_project_samples_validation(spark, network):
         parallel_project_samples(network, proj, TLRS, 1.0, choose=0)
 
 
+def test_match_candidate_cap_and_metrics(spark, network):
+    """Flood fixture: many projected lines hugging route A. The per-target
+    cap keeps the lowest projected event ids deterministically; the
+    metrics companion accounts exactly for what the capped run drops."""
+    from linref_spark.spatial.match import match_candidate_metrics
+
+    rows = [
+        (i, {"xs": [2.0, 8.0], "ys": [0.2, 0.2], "ms": [0.0, 6.0]})
+        for i in range(20)
+    ]
+    proj = spark.createDataFrame(
+        rows,
+        "event_id long, geom_m struct<xs:array<double>,ys:array<double>,ms:array<double>>",
+    )
+    full = match_lines_hausdorff(network, proj, TLRS, buffer=1.0, match=1)
+    assert full.count() == 20
+    capped = match_lines_hausdorff(
+        network, proj, TLRS, buffer=1.0, match=1, max_candidates=5
+    )
+    got = sorted(r.event_id for r in capped.collect())
+    assert got == [0, 1, 2, 3, 4]  # lowest event ids survive the cap
+    m = match_candidate_metrics(
+        network, proj, TLRS, buffer=1.0, max_candidates=5
+    ).first()
+    # candidates are TILE-level (pre max_distance): both routes flood
+    assert m.n_targets == 2
+    assert m.n_capped_targets == 2
+    assert m.n_dropped_candidates == 30
+    # a cap above the flood is a no-op
+    m2 = match_candidate_metrics(
+        network, proj, TLRS, buffer=1.0, max_candidates=100
+    ).first()
+    assert m2.n_capped_targets == 0 and m2.n_dropped_candidates == 0
+
+
 def test_hausdorff_many_matches_scalar_kernel():
     """Padded-batch Hausdorff (kernels.hausdorff_many) must equal the
     per-pair kernel bit-for-bit across size regimes, including the hybrid
