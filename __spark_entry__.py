@@ -875,6 +875,48 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF x PQ serving plan with BOTH quantizers fixed (IVF centroids =
+    normalized embeddings of vec_id % 100 == 3 lowest 32; PQ codebooks =
+    normalized subvectors of vec_id % 10 == 3 lowest 16): DuckDB replays
+    list assignment, probe routing, per-subspace encoding, LUT approximate
+    scores, the top-R cut, and the exact re-rank. Training stays
+    pytest-gated (full-probe == brute-force equality + recall)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    m = 8
+    sub = dim // m
+    crows = (
+        emb.where(F.col("vec_id") % 100 == 3)
+        .orderBy("vec_id").limit(32).select("embedding").collect()
+    )
+    C = np.zeros((len(crows), dim), dtype=np.float64)
+    for ci, r in enumerate(crows):
+        C[ci, :] = np.asarray(r["embedding"], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    brows = (
+        emb.where(F.col("vec_id") % 10 == 3)
+        .orderBy("vec_id").limit(16).select("embedding").collect()
+    )
+    V = np.zeros((len(brows), dim), dtype=np.float64)
+    for ci, r in enumerate(brows):
+        V[ci, :] = np.asarray(r["embedding"], dtype=np.float64)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    books = np.stack([V[:, j * sub : (j + 1) * sub] for j in range(m)])
+    queries = emb.where(F.col("vec_id") % 500 == 0)
+    out = ANN.ivfpq_topk(
+        emb, queries, dim=dim, k=5, n_probe=4, m=m, n_codes=16,
+        rerank_factor=4, centroids=C, codebooks=books,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _match_fixture(spark, sf_dir):
     """Axis-aligned matcher fixture with closed-form scores.
 
@@ -1026,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_groups": q_docs_neardup_groups,
         "docs_bpe_tokens": q_docs_bpe_tokens,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "match_hausdorff": q_match_hausdorff,
         "match_samples": q_match_samples,
     }
@@ -1544,6 +1587,89 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
             AS BIGINT) AS n_bpe_tokens
 FROM documents
+""",
+        "ann_ivfpq_topk": """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, ev,
+         list_transform(ev, x -> x / sqrt(list_sum(
+           list_transform(ev, y -> y * y)))) AS nv
+  FROM corpus
+),
+icent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+  FROM (SELECT * FROM corpus WHERE vec_id % 100 = 3 ORDER BY vec_id LIMIT 32)
+),
+asn AS (
+  SELECT c.vec_id, i.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+           ORDER BY list_cosine_similarity(c.ev, i.cv) DESC, i.cid ASC) AS rn
+  FROM corpus c, icent i
+),
+a1 AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+pcent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS pcid, nv AS pv
+  FROM (SELECT * FROM nrm WHERE vec_id % 10 = 3 ORDER BY vec_id LIMIT 16)
+),
+subs AS (SELECT unnest(range(0, 8)) AS j),
+enc AS (
+  SELECT v.vec_id, s.j, p.pcid,
+         row_number() OVER (PARTITION BY v.vec_id, s.j
+           ORDER BY list_distance(list_slice(v.nv, s.j * 8 + 1, s.j * 8 + 8),
+                                  list_slice(p.pv, s.j * 8 + 1, s.j * 8 + 8))
+                    ASC, p.pcid ASC) AS rn
+  FROM nrm v, subs s, pcent p
+),
+code AS (SELECT vec_id, j, pcid FROM enc WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, nv AS qv, ev AS qe
+  FROM nrm WHERE vec_id % 500 = 0
+),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, i.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, i.cv) DESC, i.cid ASC) AS rn
+    FROM q, icent i
+  ) WHERE rn <= 4
+),
+routed AS (
+  SELECT qp.query_id, a1.vec_id AS neighbor_id
+  FROM qp JOIN a1 ON a1.cid = qp.cid
+  WHERE a1.vec_id <> qp.query_id
+),
+approxs AS (
+  SELECT r.query_id, r.neighbor_id,
+         sum(list_dot_product(
+           list_slice(q2.qv, c.j * 8 + 1, c.j * 8 + 8),
+           list_slice(p.pv, c.j * 8 + 1, c.j * 8 + 8))) AS approx
+  FROM routed r
+  JOIN code c ON c.vec_id = r.neighbor_id
+  JOIN pcent p ON p.pcid = c.pcid
+  JOIN q q2 ON q2.query_id = r.query_id
+  GROUP BY r.query_id, r.neighbor_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx DESC, neighbor_id ASC) AS rn
+    FROM approxs
+  ) WHERE rn <= 20
+),
+rer AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         row_number() OVER (PARTITION BY cd.query_id
+           ORDER BY list_cosine_similarity(e.ev, q2.qe) DESC,
+                    cd.neighbor_id ASC) AS rank
+  FROM cand cd
+  JOIN corpus e ON e.vec_id = cd.neighbor_id
+  JOIN q q2 ON q2.query_id = cd.query_id
+)
+SELECT query_id, neighbor_id, rank FROM rer WHERE rank <= 5
 """,
         # matcher fixture: horizontal target at y = band*1000 + lvl*3 and
         # horizontal projected line (x in [a, a+20] contained in [0, 100])

@@ -387,6 +387,7 @@ def train_ivf_centroids(
     """
     rows = (
         corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
         .orderBy(F.col(id_col))
         .limit(sample_size)
         .collect()
@@ -531,7 +532,9 @@ def train_pq_codebooks(
         raise ValueError("dim must be divisible by m")
     sub = dim // m
     rows = (
-        corpus.select(id_col, vec_col).orderBy(F.col(id_col))
+        corpus.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
         .limit(sample_size).collect()
     )
     X = np.zeros((len(rows), dim), dtype=np.float64)
@@ -722,8 +725,21 @@ def pq_topk(
     cand = partials.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= R
     ).drop("_rn", "approx")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, query_id_col)
 
-    # exact re-rank on the candidates' float vectors
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Join candidate (query_id, neighbor_id) pairs back to their float
+    vectors and keep the exact-cosine top ``k`` (deterministic ties by
+    neighbor id). Shared tail of the PQ-coded serving paths."""
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
@@ -748,3 +764,106 @@ def pq_topk(
             F.col("query_id").alias(query_id_col), "neighbor_id", "rank", "cos"
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 10000,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """IVF x PQ — the canonical 100 TB ANN serving plan: IVF inverted lists
+    bound WHICH corpus rows each query touches (~n_probe/n_centroids of the
+    corpus), PQ codes bound WHAT is read per touched row (m bytes instead
+    of the float vector), and an exact re-rank over the surviving
+    ``k * rerank_factor`` candidates restores float precision.
+
+    Plan shape: one encode pass (centroid id + PQ code per corpus row), a
+    centroid-id equi-join against the broadcast probe table, one
+    Arrow-batched LUT gather for the approximate scores, a per-query top-R
+    window, then :func:`_exact_rerank`. With ``n_probe = n_centroids``
+    every list is probed and the result equals brute force exactly.
+
+    Pass ``centroids`` / ``codebooks`` to reuse trained quantizers; both
+    train on bounded deterministic samples otherwise.
+    """
+    _guard_query_broadcast(queries, max_queries, "ivfpq_topk")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim, n_centroids, sample_size, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m, n_codes, sample_size, id_col=id_col,
+            vec_col=vec_col, seed=seed,
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    mm, ncodes, sub = books.shape
+
+    # per-query LUTs (same construction as pq_topk), keyed by sorted qid
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.zeros((len(qrows), mm * sub), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        a = np.asarray(r[vec_col], dtype=np.float64)
+        Q[i, : min(len(a), mm * sub)] = a[: mm * sub]
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(qrows), mm, sub), books)
+    order = np.argsort(qids)
+    qids_sorted, lut_sorted = qids[order], lut[order]
+    spark = corpus.sparkSession
+    b_lut = spark.sparkContext.broadcast((qids_sorted, lut_sorted))
+
+    assign1 = make_ivf_assign_udf(centroids, 1)
+    assignp = make_ivf_assign_udf(centroids, n_probe)
+    coded = with_pq_codes(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        books, vec_col, "pq_code",
+    ).withColumn("_cid", F.element_at(assign1(F.col(vec_col)), 1)).select(
+        "neighbor_id", "_cid", "pq_code"
+    ).where(F.col("pq_code").isNotNull() & F.col("_cid").isNotNull())
+
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(assignp(F.col(vec_col))).alias("_cid"),
+    )
+    cand = coded.join(F.broadcast(qp), on="_cid").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    @F.pandas_udf(DoubleType())
+    def _adc_score(qid: pd.Series, code: pd.Series) -> pd.Series:
+        qids_l, lut_l = b_lut.value
+        qarr = qid.to_numpy(dtype=np.int64)
+        codes = np.stack(code.to_numpy()).astype(np.int64)
+        qidx = np.searchsorted(qids_l, qarr)
+        s = lut_l[qidx, 0, codes[:, 0]]
+        for j in range(1, mm):
+            s = s + lut_l[qidx, j, codes[:, j]]
+        return pd.Series(s)
+
+    R = k * rerank_factor
+    scored = cand.withColumn(
+        "approx", _adc_score(F.col("query_id"), F.col("pq_code"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    topr = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= R
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(topr, corpus, queries, k, id_col, vec_col, query_id_col)

@@ -377,3 +377,69 @@ def test_pq_topk_recall(spark):
 
     with _pytest.raises(ValueError, match="max_queries"):
         ANN.pq_topk(df, df, dim=dim, k=2, max_queries=5)
+
+
+def test_pq_topk_null_embedding_skipped(spark):
+    """Corpus rows with null embeddings must be skipped (null pq_code),
+    not crash the scoring stage."""
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "vec_id long, embedding array<float>"
+    )
+    full = df.unionByName(nulls)
+    queries = df.where("vec_id < 2")
+    out = ANN.pq_topk(full, queries, dim=4, k=3, m=2, n_codes=8)
+    got = {r.query_id: r for r in out.collect() if r.rank == 1}
+    assert set(got) == {0, 1}
+    assert all(r.neighbor_id < 100 for r in out.collect())
+
+
+def test_ivfpq_topk_recall_and_full_probe_exact(spark):
+    """IVF x PQ composition: with every list probed and a generous rerank
+    the result EQUALS brute force; with a partial probe recall@10 stays
+    high on the clustered corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    dim, n_clusters, per = 64, 16, 15
+    rows = []
+    for c in range(n_clusters):
+        base = rng.normal(size=dim)
+        for i in range(per):
+            v = base + rng.normal(scale=0.05, size=dim)
+            rows.append((c * per + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id % 15 = 0")
+    brute_rows = ANN.cosine_topk(df, queries, k=10).collect()
+    brute = {}
+    for r in brute_rows:
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    C = ANN.train_ivf_centroids(df, dim, n_centroids=16, seed=7)
+    books = ANN.train_pq_codebooks(df, dim, m=8, n_codes=32, seed=5)
+
+    # full probe + rerank pool spanning the whole corpus == brute force
+    exact = ANN.ivfpq_topk(
+        df, queries, dim=dim, k=10, n_centroids=16, n_probe=16,
+        m=8, n_codes=32, rerank_factor=24, centroids=C, codebooks=books,
+    )
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in brute_rows}
+    assert got == want
+
+    # partial probe: the serving configuration keeps recall high
+    out = ANN.ivfpq_topk(
+        df, queries, dim=dim, k=10, n_centroids=16, n_probe=4,
+        m=8, n_codes=32, rerank_factor=4, centroids=C, codebooks=books,
+    )
+    approx = {}
+    for r in out.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(brute[q] & approx.get(q, set())) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.85
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        ANN.ivfpq_topk(df, df, dim=dim, k=2, max_queries=5)
