@@ -1,15 +1,20 @@
 """Pure-numpy reference codecs for the multimodal operators.
 
 The container ships no media libraries, so the registry in
-:mod:`linref_spark.web.multimodal` is proven end-to-end with two REAL
-parsers for uncompressed formats (both fully specified public formats):
+:mod:`linref_spark.web.multimodal` is proven end-to-end with REAL parsers
+for fully specified public formats:
 
 - 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up or top-down rows,
   4-byte row padding, BGR order);
-- PCM16 mono WAV (RIFF chunk walk, fmt + data).
+- PCM16 mono WAV (RIFF chunk walk, fmt + data);
+- PNG, 8-bit gray/RGB/RGBA non-interlaced (stdlib zlib inflate + all five
+  row filters un-applied);
+- baseline JPEG (ITU T.81 sequential DCT: huffman entropy decode,
+  dequantize, 8x8 IDCT, 4:2:0/4:4:4 chroma, YCbCr->RGB) plus a
+  valid-baseline encoder for fixture synthesis.
 
-Compressed/exotic codecs (JPEG, PNG, MP4...) remain stubbed — registering
-a real library decoder is a one-line swap, nothing else changes.
+Only MP4/video demuxing remains a declared stub — registering a pyav
+callable is a one-line swap, nothing else changes.
 """
 
 from __future__ import annotations
@@ -293,7 +298,8 @@ def png_feature(data: bytes) -> np.ndarray | None:
 
 def image_feature(data: bytes) -> np.ndarray | None:
     """Magic-byte dispatch over the registered still-image codecs
-    (BMP + PNG); None for anything else (jpeg/mp4 stay declared stubs)."""
+    (BMP + PNG + baseline JPEG); None for anything else (mp4 stays a
+    declared stub)."""
     if data is None:
         return None
     b = bytes(data)
@@ -301,11 +307,13 @@ def image_feature(data: bytes) -> np.ndarray | None:
         return bmp_feature(b)
     if b[:8] == _PNG_SIG:
         return png_feature(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_feature(b)
     return None
 
 
 def decode_image(data: bytes) -> np.ndarray | None:
-    """Magic-byte dispatch decode (BMP/PNG) -> (h, w, 3) uint8 RGB."""
+    """Magic-byte dispatch decode (BMP/PNG/JPEG) -> (h, w, 3) uint8 RGB."""
     if data is None:
         return None
     b = bytes(data)
@@ -313,4 +321,492 @@ def decode_image(data: bytes) -> np.ndarray | None:
         return decode_bmp24(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
     return None
+
+
+# --- JPEG (baseline DCT, huffman, 4:2:0 / 4:4:4 / grayscale) ---------------------
+# Pure-numpy implementation of the public baseline JPEG process (ITU T.81):
+# marker walk, DQT/DHT/SOF0/SOS parse, byte-destuffed huffman entropy
+# decode, dequantize, 8x8 IDCT, chroma upsample, YCbCr->RGB. The encoder
+# emits valid baseline JFIF with canonical fixed-length huffman tables
+# (4-bit DC / 8-bit AC codes — larger files, trivially correct tables) so
+# synthesized fixtures roundtrip without any media library.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+_QCHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    T = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    T[0, :] = 1.0 / np.sqrt(8.0)
+    return T
+
+
+_DCT8 = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QLUM * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QCHR * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _encoder_huff(symbols: list[int], length: int):
+    """Canonical fixed-length huffman table: DHT (bits, values) plus a
+    symbol -> (code, length) map. Valid prefix code as long as
+    len(symbols) < 2**length (the all-ones code stays unused)."""
+    assert len(symbols) < (1 << length)
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    codes = {s: (i, length) for i, s in enumerate(sorted(symbols))}
+    return bits, sorted(symbols), codes
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+    dc_codes, ac_codes,
+) -> int:
+    coef = _DCT8 @ (block - 128.0) @ _DCT8.T
+    zz = np.round(coef.ravel()[_ZIGZAG] / q[_ZIGZAG]).astype(np.int64)
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _size_cat(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        amp = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(amp, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+    return dc
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    H = (h + mult - 1) // mult * mult
+    W = (w + mult - 1) // mult * mult
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray, quality: int = 90, subsampling: str = "420"
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF bytes.
+
+    4:2:0 (default) or 4:4:4 chroma; canonical fixed-length huffman
+    tables (written to DHT, so any conforming decoder reads the output)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    dc_bits, dc_vals, dc_codes = _encoder_huff(_DC_SYMS, 4)
+    ac_bits, ac_vals, ac_codes = _encoder_huff(_AC_SYMS, 8)
+
+    if gray:
+        Y = img.astype(np.float64)
+        planes = [( _pad_edge(Y, 8), ql, 1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        R, G, B = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        if subsampling == "420":
+            Yp = _pad_edge(Y, 16)
+            Cbp = _pad_edge(Cb, 16)
+            Crp = _pad_edge(Cr, 16)
+            Cbs = Cbp.reshape(Cbp.shape[0] // 2, 2, Cbp.shape[1] // 2, 2).mean((1, 3))
+            Crs = Crp.reshape(Crp.shape[0] // 2, 2, Crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [(Yp, ql, 2, 2), (Cbs, qc, 1, 1), (Crs, qc, 1, 1)]
+        elif subsampling == "444":
+            planes = [
+                (_pad_edge(Y, 8), ql, 1, 1),
+                (_pad_edge(Cb, 8), qc, 1, 1),
+                (_pad_edge(Cr, 8), qc, 1, 1),
+            ]
+        else:
+            raise ValueError("subsampling must be '420' or '444'")
+
+    hmax = max(p[2] for p in planes)
+    vmax = max(p[3] for p in planes)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, q, ch, cv) in enumerate(planes):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, block, q, preds[ci], dc_codes, ac_codes
+                        )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(
+            0xFFC4,
+            bytes([cls << 4 | tid]) + bytes(bits[1:17]) + bytes(vals),
+        )
+
+    out = [b"\xff\xd8"]
+    out.append(seg(0xFFDB, b"\x00" + bytes(ql[_ZIGZAG].astype(np.uint8))))
+    if not gray:
+        out.append(seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8))))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        yhv = 0x22 if subsampling == "420" else 0x11
+        sof += bytes([1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out.append(seg(0xFFC0, sof))
+    out.append(dht(0, 0, dc_bits, dc_vals))
+    out.append(dht(1, 0, ac_bits, ac_vals))
+    if not gray:
+        out.append(dht(0, 1, dc_bits, dc_vals))
+        out.append(dht(1, 1, ac_bits, ac_vals))
+    sos = bytes([ncomp])
+    sos += bytes([1, 0x00]) if gray else bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out.append(seg(0xFFDA, sos))
+    out.append(entropy)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _decode_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, q: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.float64)
+    s = _huff_decode(br, dc_tab)
+    dc = pred + _extend(br.receive(s), s)
+    zz[0] = dc
+    k = 1
+    while k <= 63:
+        rs = _huff_decode(br, ac_tab)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            break
+        zz[k] = _extend(br.receive(rs & 15), rs & 15)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * q[_ZIGZAG]
+    block = _DCT8.T @ coef.reshape(8, 8) @ _DCT8 + 128.0
+    return block, dc
+
+
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB; None unless baseline
+    sequential with the common component shapes (grayscale; 3-component
+    4:4:4 or 4:2:0), including restart-marker streams."""
+    if data is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, count=64, offset=b + 1
+                ).astype(np.float64)
+                qt[tq] = tbl
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 15
+                bits = body[b + 1 : b + 17]
+                nv = sum(bits)
+                vals = body[b + 17 : b + 17 + nv]
+                table: dict[tuple, int] = {}
+                code = 0
+                vi = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+                b += 17 + nv
+        elif marker == 0xC0:
+            prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq2 = body[6 + c * 3 : 9 + c * 3]
+                comps.append((cid, hv >> 4, hv & 15, tq2))
+            sof = (hh, ww, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline process
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            stabs = {}
+            for c in range(ns):
+                cid, tt = body[1 + c * 2 : 3 + c * 2]
+                stabs[cid] = (tt >> 4, tt & 15)
+            scan = (stabs, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        return None
+    hh, ww, comps = sof
+    stabs, dstart = scan
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    shapes = (hs, vs)
+    if not (
+        (len(comps) == 1 and shapes == ([1], [1]))
+        or (len(comps) == 3 and shapes == ([1, 1, 1], [1, 1, 1]))
+        or (len(comps) == 3 and shapes == ([2, 1, 1], [2, 1, 1]))
+    ):
+        return None
+
+    # entropy segments split on restart markers, bytes destuffed
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = dstart
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    mcus_x = (ww + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (hh + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * v * 8, mcus_x * h2 * 8), dtype=np.float64)
+        for h2, v in zip(hs, vs)
+    ]
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        return None
+                    br = _BitReader(segments[seg_i])
+                    preds = [0] * len(comps)
+                for ci, (cid, h2, v, tq2) in enumerate(comps):
+                    dc_tab = huff.get((0, stabs[cid][0]))
+                    ac_tab = huff.get((1, stabs[cid][1]))
+                    q = qt.get(tq2)
+                    if dc_tab is None or ac_tab is None or q is None:
+                        return None
+                    for by in range(v):
+                        for bx in range(h2):
+                            block, preds[ci] = _decode_block(
+                                br, dc_tab, ac_tab, q, preds[ci]
+                            )
+                            y0 = (my * v + by) * 8
+                            x0 = (mx * h2 + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                mcu_count += 1
+    except (EOFError, ValueError):
+        return None
+
+    if len(comps) == 1:
+        Y = np.clip(planes[0][:hh, :ww], 0, 255).astype(np.uint8)
+        return np.repeat(Y[:, :, None], 3, axis=2)
+    up = []
+    for ci in range(3):
+        pl = planes[ci]
+        if hs[ci] < hmax or vs[ci] < vmax:
+            pl = np.repeat(np.repeat(pl, vmax // vs[ci], 0), hmax // hs[ci], 1)
+        up.append(pl[:hh, :ww])
+    Y, Cb, Cr = up
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B = Y + 1.772 * (Cb - 128.0)
+    return np.clip(np.stack([R, G, B], axis=2), 0, 255).astype(np.uint8)
+
+
+def jpeg_feature(data: bytes) -> np.ndarray | None:
+    """JPEG -> 16-dim feature: same 4x4 grayscale grid as bmp_feature."""
+    img = decode_jpeg(bytes(data)) if data is not None else None
+    if img is None:
+        return None
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = np.minimum((np.arange(h) * 4) // h, 3)
+    xi = np.minimum((np.arange(w) * 4) // w, 3)
+    bid = (yi[:, None] * 4 + xi[None, :]).ravel()
+    sums = np.bincount(bid, weights=gray.ravel(), minlength=16)
+    cnts = np.bincount(bid, minlength=16)
+    return (sums / np.maximum(cnts, 1) / 255.0).astype(np.float32)

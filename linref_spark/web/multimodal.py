@@ -5,10 +5,10 @@ the standard large-scale training-data layout (content-addressed bytes +
 sidecar metadata). The Spark-side plumbing is real and tested: schemas,
 partition-friendly batch shapes, ``mapInPandas`` iterator UDFs with
 bounded memory. The codec registry is proven end-to-end with REAL
-pure-numpy parsers for uncompressed formats (24-bit BMP images, PCM16 WAV
-audio — :mod:`linref_spark.web.codecs`); compressed codecs (jpeg/png/mp4)
-remain stubbed (no media libraries in this container) — registering a
-PIL / torchaudio / pyav callable is a one-line swap.
+pure-numpy parsers (:mod:`linref_spark.web.codecs`): 24-bit BMP, PNG,
+baseline JPEG (4:2:0/4:4:4) images and PCM16 WAV audio. Only mp4/video
+demuxing remains a declared stub (no media libraries in this container)
+— registering a pyav callable is a one-line swap.
 
 Operators:
 
@@ -208,10 +208,10 @@ def resize_images(
 
 def resize_stub(
     df: DataFrame, data_col: str = "media", width: int = 224, height: int = 224,
-    kind: str = "jpeg",
+    kind: str = "mp4",
 ) -> DataFrame:
     """Resize for codecs WITHOUT a registered (decode, encode) pair — the
-    clearly-marked stub the spec permits (jpeg/png need real image libs).
+    clearly-marked stub the spec permits (video demuxing needs pyav).
     Kinds with a registered pair delegate to :func:`resize_images`."""
     if kind in RESIZERS:
         return resize_images(df, data_col, width, height, kind)
@@ -222,13 +222,16 @@ def resize_stub(
 
 
 # real pure-numpy reference codecs (linref_spark/web/codecs.py).
-# 'image' dispatches on magic bytes over BMP + PNG; 'png'/'bmp' address a
-# single codec directly. jpeg/mp4 remain declared stubs (no media libs).
+# 'image' dispatches on magic bytes over BMP + PNG + JPEG; 'png'/'bmp'/
+# 'jpeg' address a single codec directly. mp4 remains a declared stub
+# (no media libs).
 DECODERS["image"] = C.image_feature
 DECODERS["bmp"] = C.bmp_feature
 DECODERS["png"] = C.png_feature
+DECODERS["jpeg"] = C.jpeg_feature
 DECODERS["audio"] = C.wav_feature
 DECODERS["bytestats"] = _fake_feature
 RESIZERS["image"] = (C.decode_image, C.encode_bmp24)
 RESIZERS["bmp"] = (C.decode_bmp24, C.encode_bmp24)
 RESIZERS["png"] = (C.decode_png, C.encode_png)
+RESIZERS["jpeg"] = (C.decode_jpeg, C.encode_jpeg_baseline)

@@ -94,7 +94,7 @@ def test_media_meta_and_features(spark):
         for r in MM.decode_features(df, kind="bytestats").collect()
     }
     assert out == out2
-    # compressed codecs are stubbed: kind='image' can't decode jpeg -> NULL
+    # undecodable bytes (truncated jpeg, garbage) surface as NULL features
     img = {r.media_id: r.features for r in MM.decode_features(df, kind="image").collect()}
     assert img[0] is None and img[2] is None
 
@@ -107,10 +107,79 @@ def test_sample_frames_plumbing(spark):
 
 
 def test_resize_is_explicit_stub(spark):
-    # jpeg (no registered codec) stays a declared stub
+    # mp4 (no registered codec — video demuxing needs pyav) stays a
+    # declared stub; jpeg/png/bmp are real and delegate to resize_images
     df = spark.createDataFrame([(0, b"")], ["media_id", "media"])
     with pytest.raises(NotImplementedError):
         MM.resize_stub(df)
+
+
+def test_jpeg_codec_roundtrips():
+    import numpy as np
+
+    from linref_spark.web import codecs as C
+
+    # smooth image (JPEG-friendly): near-lossless at q=95 for 444 and 420
+    base = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256)
+    img = np.stack([base, base // 2 + 30, np.full_like(base, 90)], 2).astype(
+        np.uint8
+    )
+    for sub in ("444", "420"):
+        b = C.encode_jpeg_baseline(img, quality=95, subsampling=sub)
+        dec = C.decode_jpeg(b)
+        assert dec is not None and dec.shape == img.shape
+        err = np.abs(dec.astype(float) - img.astype(float))
+        assert err.mean() < 3.0 and err.max() <= 40.0, sub
+    # grayscale
+    g = (np.add.outer(np.arange(17) * 7, np.arange(23) * 11) % 256).astype(
+        np.uint8
+    )
+    d = C.decode_jpeg(C.encode_jpeg_baseline(g, quality=90))
+    assert d.shape == (17, 23, 3)
+    assert np.abs(d[:, :, 0].astype(float) - g).mean() < 4.0
+    # refusal on invalid bytes
+    assert C.decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
+    assert C.decode_jpeg(b"not a jpeg") is None
+
+
+def test_jpeg_decode_resize_neardup_end_to_end(spark):
+    """Synthesized JPEG bytes through the full multimodal path: decode ->
+    features -> near-dup similarity, and decode -> resize -> re-encode
+    (still a decodable baseline JPEG)."""
+    import numpy as np
+
+    from linref_spark.web import codecs as C
+
+    base = (np.add.outer(np.arange(32) * 4, np.arange(32) * 5) % 256)
+    imgA = np.stack([base, base, base], 2).astype(np.uint8)
+    imgB = np.clip(imgA.astype(np.int32) + 2, 0, 255).astype(np.uint8)  # near-dup
+    imgC = imgA[::-1].copy()  # flipped: different layout
+    rows_ = [
+        (0, C.encode_jpeg_baseline(imgA, quality=90)),
+        (1, C.encode_jpeg_baseline(imgB, quality=90)),
+        (2, C.encode_jpeg_baseline(imgC, quality=90)),
+    ]
+    df = spark.createDataFrame(rows_, ["media_id", "media"])
+
+    feats = {
+        r.media_id: np.asarray(r.features)
+        for r in MM.decode_features(df, kind="jpeg").collect()
+    }
+    assert all(feats[i] is not None and len(feats[i]) == 16 for i in range(3))
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # de-meaned cosine so the shared brightness level doesn't mask layout
+    dm = {k: v - v.mean() for k, v in feats.items()}
+    assert cos(dm[0], dm[1]) > 0.99  # near-dup pair
+    assert cos(dm[0], dm[2]) < cos(dm[0], dm[1])  # flipped image is farther
+
+    resized = MM.resize_images(df, width=16, height=16, kind="jpeg")
+    out = {r.media_id: bytes(r.media_resized) for r in resized.collect()}
+    for i in range(3):
+        dec = C.decode_jpeg(out[i])
+        assert dec is not None and dec.shape == (16, 16, 3)
 
 
 def test_bmp_wav_codec_roundtrips():
