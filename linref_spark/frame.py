@@ -47,24 +47,46 @@ def wrap(
     loc_col: Optional[str] = None,
     beg_col: Optional[str] = None,
     end_col: Optional[str] = None,
-    closed: str = "right",
+    closed: Optional[str] = None,
     geom_m_col: Optional[str] = None,
-    geometry_sync: str = "drop",
+    geometry_sync: Optional[str] = None,
     add_ids: bool = True,
 ) -> "LinrefFrame":
     """Bind column roles to a DataFrame and return the chained facade —
     the Spark spelling of setting up ``df.lr`` (``linref/ext/lrs.py:9-62``
     + accessor binding). ``add_ids`` mints the canonical dense ``event_id``
-    when absent."""
-    lrs = LRS(
-        key_cols=tuple(key_cols),
-        loc_col=loc_col,
-        beg_col=beg_col,
-        end_col=end_col,
-        closed=closed,
-        geom_m_col=geom_m_col,
-        geometry_sync=geometry_sync,
+    when absent.
+
+    With NO role arguments, the package default LRS applies if one is
+    registered via :func:`linref_spark.options.set_default_lrs` (the
+    reference's ``linref/options.py:63-83`` registry); ``closed`` /
+    ``geometry_sync`` still override the registered values per call.
+    """
+    from linref_spark.options import options
+
+    roles_given = bool(key_cols) or any(
+        x is not None for x in (loc_col, beg_col, end_col, geom_m_col)
     )
+    if not roles_given and options.default_lrs is not None:
+        lrs = options.default_lrs
+        if closed is not None:
+            lrs = replace(lrs, closed=closed)
+        if geometry_sync is not None:
+            lrs = replace(lrs, geometry_sync=geometry_sync)
+    else:
+        lrs = LRS(
+            key_cols=tuple(key_cols),
+            loc_col=loc_col,
+            beg_col=beg_col,
+            end_col=end_col,
+            closed=closed if closed is not None else "right",
+            geom_m_col=geom_m_col,
+            geometry_sync=(
+                geometry_sync
+                if geometry_sync is not None
+                else options.default_geometry_sync
+            ),
+        )
     lf = LinrefFrame(df, lrs)
     return lf.add_event_id() if add_ids else lf
 
@@ -276,6 +298,97 @@ class LinrefFrame:
         from linref_spark.spatial.match import parallel_project_samples
 
         return parallel_project_samples(self.df, projected, self.lrs, buffer, **kw)
+
+    # -- web-scale text / dedup / ANN ----------------------------------------
+    # one-line delegations to linref_spark.web so a dedup + relate chain
+    # runs through the same front door; id defaults to the canonical
+    # event_id this facade mints.
+    def with_token_stats(self, text_col: str = "text") -> "LinrefFrame":
+        from linref_spark.web import textstats as _ts
+
+        return self._wrap(_ts.with_token_stats(self.df, text_col))
+
+    def with_quality_score(self, text_col: str = "text") -> "LinrefFrame":
+        from linref_spark.web import textstats as _ts
+
+        return self._wrap(_ts.with_quality_score(self.df, text_col))
+
+    def with_lang_id(self, text_col: str = "text") -> "LinrefFrame":
+        from linref_spark.web import textstats as _ts
+
+        return self._wrap(_ts.with_lang_id(self.df, text_col))
+
+    def with_fingerprint(self, text_col: str = "text") -> "LinrefFrame":
+        from linref_spark.web import textstats as _ts
+
+        return self._wrap(_ts.with_fingerprint(self.df, text_col))
+
+    def with_bpe_token_count(self, text_col: str = "text") -> "LinrefFrame":
+        from linref_spark.web import textstats as _ts
+
+        return self._wrap(_ts.with_bpe_token_count(self.df, text_col))
+
+    def dedup_exact(
+        self, text_col: str = "text", id_col: str = EVENT_ID
+    ) -> "LinrefFrame":
+        from linref_spark.web import dedup as _dd
+
+        return self._wrap(_dd.dedup_exact(self.df, text_col, id_col))
+
+    def near_dup_groups(
+        self, text_col: str = "text", id_col: str = EVENT_ID, **kw
+    ) -> "LinrefFrame":
+        """Append ``canonical_id`` (minhash-LSH -> connected components);
+        keep ``id == canonical_id`` rows for a one-per-cluster dedup. The
+        module function returns the bare label table; the facade joins it
+        back so the frame keeps its event columns."""
+        from linref_spark.web import dedup as _dd
+
+        labels = _dd.near_dup_groups(self.df, text_col, id_col, **kw)
+        return self._wrap(self.df.join(labels, on=id_col, how="left"))
+
+    def minhash_pairs(
+        self, text_col: str = "text", id_col: str = EVENT_ID, **kw
+    ) -> DataFrame:
+        from linref_spark.web import dedup as _dd
+
+        return _dd.minhash_lsh_pairs(self.df, text_col, id_col, **kw)
+
+    def simhash_pairs(
+        self, text_col: str = "text", id_col: str = EVENT_ID, **kw
+    ) -> DataFrame:
+        from linref_spark.web import dedup as _dd
+
+        return _dd.simhash_band_pairs(self.df, text_col, id_col, **kw)
+
+    def ngram_jaccard_pairs(
+        self, text_col: str = "text", id_col: str = EVENT_ID, **kw
+    ) -> DataFrame:
+        from linref_spark.web import dedup as _dd
+
+        return _dd.ngram_jaccard_pairs(self.df, text_col, id_col, **kw)
+
+    def ann_topk(
+        self, queries: DataFrame, id_col: str = EVENT_ID,
+        vec_col: str = "embedding", **kw
+    ) -> DataFrame:
+        """Exact brute-force cosine top-k against this frame as the corpus."""
+        from linref_spark.web import ann as _ann
+
+        return _ann.cosine_topk(
+            self.df, queries, id_col=id_col, vec_col=vec_col, **kw
+        )
+
+    def ann_ivfpq_topk(
+        self, queries: DataFrame, dim: int, id_col: str = EVENT_ID,
+        vec_col: str = "embedding", **kw
+    ) -> DataFrame:
+        """IVF x PQ approximate top-k — the scale serving path."""
+        from linref_spark.web import ann as _ann
+
+        return _ann.ivfpq_topk(
+            self.df, queries, dim, id_col=id_col, vec_col=vec_col, **kw
+        )
 
     # -- relate -------------------------------------------------------------
     def relate(

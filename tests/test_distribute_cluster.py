@@ -114,6 +114,79 @@ def test_distribute_hin_conservation(spark):
     assert sum(res) == pytest.approx(6.0)
 
 
+@pytest.mark.parametrize(
+    "seed,decay_size,decay_func,direction,length_normalize",
+    [
+        (0, 10, "linear", "both", True),      # decay window > route length
+        (1, 3, "gaussian", "forward", True),
+        (2, 5, "exponential", "backward", True),
+        (3, 2, "flat", "both", False),
+    ],
+)
+def test_distribute_conservation_randomized(
+    spark, seed, decay_size, decay_func, direction, length_normalize
+):
+    """Randomized conservation gate for the separated-form rewrite: 100
+    independent random route groups per configuration (group masking makes
+    them independent scenarios in ONE job), with adversarial shapes —
+    zero-length targets, negative-measure routes, decay windows wider than
+    the route. Every source's value must be fully distributed: sum(out)
+    == sum(in) globally AND per group (relate.py:1501-1520 semantics)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t_begs, t_ends, t_groups = [], [], []
+    s_locs, s_groups, s_vals = [], [], []
+    for g in range(100):
+        route = f"G{g:03d}"
+        n_rows = int(rng.randint(1, 9))
+        start = float(rng.randint(-50, 50))  # negative measures allowed
+        pos = start
+        spans = []
+        for _ in range(n_rows):
+            ln = float(rng.choice([0.0, 0.0, 1.0, 2.5, 7.0]))  # zero-len mix
+            spans.append((pos, pos + ln))
+            pos += ln
+        # guarantee at least one positive-length target to anchor sources
+        if all(b == e for b, e in spans):
+            spans[-1] = (spans[-1][0], spans[-1][0] + 3.0)
+        for b, e in spans:
+            t_begs.append(b)
+            t_ends.append(e)
+            t_groups.append(route)
+        positive = [(b, e) for b, e in spans if e > b]
+        for _ in range(int(rng.randint(1, 5))):
+            b, e = positive[rng.randint(len(positive))]
+            frac = float(rng.uniform(0.1, 0.9))
+            s_locs.append(b + frac * (e - b))  # strictly interior
+            s_groups.append(route)
+            s_vals.append(float(rng.uniform(0.5, 10.0)))
+
+    targets, tlrs = make_events(spark, begs=t_begs, ends=t_ends, groups=t_groups)
+    sources, slrs = make_events(
+        spark, locs=s_locs, groups=s_groups, extra={"val": s_vals}
+    )
+    ip = intersect_pairs(targets, sources, tlrs, slrs)
+    out = distribute(
+        ip, targets, sources, tlrs, slrs, value_col="val",
+        decay_size=decay_size, decay_func=decay_func, direction=direction,
+        length_normalize=length_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.route: r.s
+        for r in out.groupBy("route").agg(F.sum("distributed").alias("s")).collect()
+    }
+    want: dict = {}
+    for route, v in zip(s_groups, s_vals):
+        want[route] = want.get(route, 0.0) + v
+    assert set(got) == set(t_groups)
+    for route in want:
+        assert got[route] == pytest.approx(want[route], rel=1e-9), route
+    assert sum(got.values()) == pytest.approx(sum(s_vals), rel=1e-9)
+
+
 def test_decay_functions():
     lin = make_decay("linear", 2)
     assert lin(0) == 1.0 and lin(1) == pytest.approx(1 - 1 / 3)

@@ -190,3 +190,71 @@ def test_facade_roundtrips_and_lrs_tracking(spark, crashes, pavement):
     # geometry_sync default rides the facade: shifting a frame with geom_m
     # drops the geometry column under the default 'drop' policy
     assert crashes.shift(1.0).lrs.loc_col == "loc"
+
+
+def test_default_lrs_registry(spark):
+    """Package-level default LRS (reference linref/options.py:63-83): set
+    once, wrap() with no roles picks it up; explicit roles still win;
+    reset clears."""
+    import linref_spark as ls
+
+    df = spark.createDataFrame(
+        [("A", 0.0, 5.0), ("A", 5.0, 9.0)], "route string, beg double, end double"
+    )
+    try:
+        got = ls.set_default_lrs(
+            key_cols=("route",), beg_col="beg", end_col="end", closed="left_mod"
+        )
+        assert ls.options.default_lrs is got
+        lf = ls.wrap(df)
+        assert lf.lrs.key_cols == ("route",) and lf.lrs.closed == "left_mod"
+        # per-call override of a registered field
+        lf2 = ls.wrap(df, closed="right")
+        assert lf2.lrs.closed == "right" and lf2.lrs.beg_col == "beg"
+        # explicit roles bypass the registry entirely
+        pdf = spark.createDataFrame([("A", 1.0)], "route string, loc double")
+        lp = ls.wrap(pdf, key_cols=("route",), loc_col="loc")
+        assert lp.lrs.is_point
+        # invalid values rejected
+        with pytest.raises(ValueError):
+            ls.options.default_lrs = "not an lrs"
+        with pytest.raises(ValueError):
+            ls.options.default_geometry_sync = "explode"
+    finally:
+        ls.options.reset()
+    assert ls.options.default_lrs is None
+    assert ls.get_default_lrs() is None
+
+
+def test_facade_dedup_relate_chain(spark):
+    """One-front-door chain mixing the web dedup operators with a relate
+    aggregation — the README example shape."""
+    import linref_spark as ls
+
+    docs = spark.createDataFrame(
+        [
+            ("A", 0.0, 5.0, "the quick brown fox jumps over the lazy dog"),
+            ("A", 5.0, 9.0, "the quick brown fox jumps over the lazy dog"),
+            ("B", 0.0, 4.0, "an entirely different document about spark"),
+        ],
+        "route string, beg double, end double, text string",
+    )
+    lf = ls.wrap(docs, key_cols=("route",), beg_col="beg", end_col="end")
+    enriched = lf.with_token_stats().with_lang_id().with_fingerprint()
+    assert {"n_tokens", "lang_pred", "fingerprint"} <= set(enriched.columns)
+    # exact dedup keeps one of the two identical texts
+    kept = enriched.dedup_exact()
+    assert kept.count() == 2
+    # near-dup clusters label every row with its canonical id
+    grouped = enriched.near_dup_groups(num_hashes=8, bands=4, shingle_k=2)
+    labels = {r.event_id: r.canonical_id for r in grouped.collect()}
+    assert len(set(labels.values())) == 2
+    # the deduped frame still relates like any event frame
+    pts = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("A", 6.0, 1.0), ("B", 2.0, 1.0)],
+        "route string, loc double, one double",
+    )
+    lp = ls.wrap(pts, key_cols=("route",), loc_col="loc")
+    counted = kept.relate(lp).sum("one", out_col="n_pts")
+    # dedup dropped (A, 5-9), so the loc=6 point no longer matches: 2 of 3
+    assert counted.df.agg(F.sum("n_pts")).first()[0] == pytest.approx(2.0)
