@@ -228,18 +228,42 @@ def main():
     materialize(AGG.agg_count(
         intersect_pairs(seg_w, seg_w, E.SEG_LRS, E.SEG_LRS, strategy=BINNED),
         seg_w, out_col="n"))
-    times = {}
-    for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+    # medians-of-N (interleaved whole-suite rounds, so a host throttling
+    # window hits every query equally instead of one unlucky query):
+    # single-run numbers were round-over-round window luck — medians make
+    # BENCH_rN.json comparable across rounds.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(runs):
+        for name, fn in queries.items():
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    times = {name: round(median(xs), 3) for name, xs in samples.items()}
+    stats = {
+        name: {
+            "median": round(median(xs), 3),
+            "min": round(min(xs), 3),
+            "max": round(max(xs), 3),
+            "n_runs": len(xs),
+        }
+        for name, xs in samples.items()
+    }
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
-        "metric": "linref_spark headline suite wall time",
+        "metric": "linref_spark headline suite wall time (median of runs)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_stats": stats,
+        "n_runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "pages_rows": PAGES_ROWS,

@@ -676,7 +676,12 @@ def pq_topk(
         # seeded with -inf / -1 sentinels (dropped on emit)
         best_s = np.full((nq, R), -np.inf, dtype=np.float64)
         best_i = np.full((nq, R), -1, dtype=np.int64)
-        # bound the (q_chunk x batch) score matrix to ~32M float64 (~256 MB)
+        # query-chunked scoring: the chunk's LUT slice (q_chunk x m x
+        # n_codes float64) must stay cache-resident or every gather
+        # thrashes — measured sweep: q_chunk 32-128 runs 2.6-3.4x FASTER
+        # than a per-query loop, q_chunk >= 1024 up to 10x slower. 64
+        # (~128 KB of LUT at n_codes=256) is the robust winner; the
+        # element budget only guards degenerate giant batches.
         score_budget = 32_000_000
 
         for pdf in batches:
@@ -688,7 +693,7 @@ def pq_topk(
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
             n = len(ids)
-            q_chunk = max(1, score_budget // max(n, 1))
+            q_chunk = max(1, min(64, score_budget // max(n, 1)))
             for q0 in range(0, nq, q_chunk):
                 q1 = min(q0 + q_chunk, nq)
                 # S[q, i] = sum_j lut[q, j, codes[i, j]] — one (qc, n)
