@@ -338,17 +338,25 @@ def test_ordinal_storage_reclaimed(spark):
             n = n_persistent()
         return n
 
-    # other tests in the session may hold their own cached frames — the
-    # assertion is RELATIVE: this loop must not add pinned entries
-    baseline = settle(0, seconds=20)
+    def run_iterations(n):
+        for _ in range(n):
+            out = resegment(
+                dissolve(add_event_id(base, lrs), lrs), lrs, length=3.0
+            )
+            assert out.count() > 0
+            del out
 
-    for _ in range(6):
-        out = resegment(dissolve(add_event_id(base, lrs), lrs), lrs, length=3.0)
-        assert out.count() > 0
-        del out
+    # WARMED baseline: other session tests hold their own cached frames,
+    # and the JVM retains a small steady-state window of recent-execution
+    # blocks — run the loop twice first so the baseline includes both,
+    # then assert the steady state does not GROW. A true per-call leak
+    # (the round-2 .persist()) adds ~2 pinned entries per iteration and
+    # fails this regardless of the baseline.
+    run_iterations(2)
+    baseline = settle(0, seconds=60)
 
-    # 6 iterations x 2 ordinal calls each would have left ~12 pinned
-    # entries under the old persist(); reference tracking keeps it bounded.
+    run_iterations(6)
+
     # ContextCleaner runs asynchronously — under a loaded host (full-suite
     # runs) reclamation can take minutes, so the window is generous.
     settled = settle(baseline + 4, seconds=240)
