@@ -417,3 +417,53 @@ def test_png_decode_resize_neardup_end_to_end(spark):
         for r in ANN.cosine_neardup_pairs(feats, dim=16, threshold=0.999).collect()
     }
     assert all((i, 100 + i) in pairs for i in range(6))
+
+
+def test_mp4_demux_sample_tables():
+    """Pure-python ISO BMFF demuxer: every resolved sample byte range must
+    recover the exact payload; keyframe sampling follows stss."""
+    from linref_spark.web import mp4 as M
+
+    payloads = [bytes([i]) * (10 + i) for i in range(10)]
+    b = M.encode_mp4_stub(payloads, keyframe_every=4, samples_per_chunk=3)
+    tracks = M.parse_mp4_tracks(b)
+    assert tracks and len(tracks) == 1
+    t = tracks[0]
+    assert t["handler"] == "vide" and t["codec"] == "fake"
+    assert t["timescale"] == 1000 and t["n_samples"] == 10
+    for i, (off, sz) in enumerate(t["samples"]):
+        assert b[off : off + sz] == payloads[i]
+    assert t["sync_samples"] == [1, 5, 9]
+    kf = M.mp4_frame_ranges(b, 3, keyframes_only=True)
+    assert [i for i, _, _ in kf] == [0, 4, 8]
+    # refusal on non-MP4 bytes
+    assert M.parse_mp4_tracks(b"not an mp4 file") is None
+    assert M.mp4_frame_ranges(b"\x00" * 64, 3) is None
+
+
+def test_sample_frames_mp4_demux(spark):
+    """sample_frames(demux='mp4') emits EXACT per-sample byte ranges from
+    the sample tables; non-MP4 rows surface a null-range row; the naive
+    path is unchanged."""
+    from linref_spark.web import mp4 as M
+
+    payloads = [bytes([i]) * 20 for i in range(8)]
+    good = M.encode_mp4_stub(payloads, samples_per_chunk=3)
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not a video")], ["media_id", "media"]
+    )
+    out = MM.sample_frames(df, n_frames=4, demux="mp4")
+    rows_ = {(r.media_id, r.frame_idx): r for r in out.collect()}
+    got_frames = sorted(i for m, i in rows_ if m == 1)
+    assert len(got_frames) == 4
+    for (m, i), r in rows_.items():
+        if m == 1:
+            assert good[r.byte_start : r.byte_end] == payloads[i]
+        else:
+            assert i is None and r.byte_start is None
+    # keyframes only (stss every 4 -> samples 0 and 4)
+    kf = MM.sample_frames(df.where("media_id = 1"), n_frames=2,
+                          demux="mp4", keyframes_only=True)
+    assert sorted(r.frame_idx for r in kf.collect()) == [0, 4]
+    with pytest.raises(ValueError):
+        MM.sample_frames(df, demux="avi")
