@@ -146,8 +146,12 @@ def bench_queries(spark):
         )
 
     def q_seg_split():
+        # binned relate-back: the integrate relate-back join is the cost
+        # center of split_at_locs and the measure-bin pruning wins ~1.5x
+        # over the route-equi cross product (profiled at sf0.1)
         materialize(
-            split_at_locs(seg1, pts, E.SEG_LRS, E.PTS_LRS, inverse_col="six")
+            split_at_locs(seg1, pts, E.SEG_LRS, E.PTS_LRS, inverse_col="six",
+                          strategy=BINNED)
         )
 
     def q_minhash_lsh():

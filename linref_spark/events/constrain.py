@@ -134,9 +134,13 @@ def split_at_locs(
         dense_ids=False,  # interval ids are dropped below; hash ids skip a sort
         relate_layers=[0],  # index_1 is discarded below — skip its join
     )
-    keys = list(lrs.key_cols)
     out = integrated.where(F.col("index_0") >= 0)
-    out = out.dropDuplicates([*keys, "beg", "end", "index_0"])
+    # no dedupe needed: integrate's intervals are unique per (keys, beg)
+    # by construction (lead window over DISTINCT edges) and with a single
+    # related layer each (interval, index_0) pair appears exactly once
+    # (intersect_pairs emits one row per matching pair; the binned variant
+    # ownership-dedupes) — a dropDuplicates here would be a provable no-op
+    # costing a full extra shuffle (verified raw==dedup at sf0.01/sf0.1)
     out = out.withColumnRenamed("index_0", inverse_col).drop("index_1", EVENT_ID)
     if attr_cols:
         attrs = df.select(F.col(EVENT_ID).alias("_src"), *attr_cols)
