@@ -243,6 +243,10 @@ def main():
             t0 = time.time()
             fn()
             samples[name].append(time.time() - t0)
+        # drain reference-dead shuffle/broadcast blocks between rounds so
+        # later rounds measure the operators, not accumulated block-manager
+        # pressure from every previous query (ContextCleaner is GC-driven)
+        spark.sparkContext._jvm.System.gc()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
