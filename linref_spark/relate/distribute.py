@@ -63,7 +63,7 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linref_spark.lrs import EVENT_ID, LRS
@@ -185,16 +185,52 @@ def distribute(
         j = e.join(tnarrow, on=cond, how="inner")
         return j.select("_q", "_r", (F.col("_m0") * F.col("_len")).alias("_m"))
 
-    # S(q): decay-weighted same-group neighbor length sum per ORIGIN
-    # position (the match's group equals its target row's group by join
-    # construction, so the reference's source-group mask,
-    # relate.py:1480-1495, reduces to a target-group mask)
-    ones = tnarrow.select(
-        "_pos",
-        *[F.col(f"_tg{i}") for i in range(n_keys)],
-        F.lit(1.0).alias("_one"),
-    )
-    s_q = spread(ones, "_one").groupBy("_q").agg(F.sum("_m").alias("_S"))
+    # Grouped frames take the WINDOW form of both spread stages: canonical
+    # order keeps each route's rows contiguous in _pos, so "position q+d"
+    # is exactly "d rows ahead" inside a route-partitioned window ordered
+    # by _pos — lead/lag expressions (pure whole-stage codegen, one
+    # route-hash exchange) replace the explode(K*T) + position join +
+    # groupBy round-trips, and the partition boundary IS the reference's
+    # group mask (relate.py:1480-1495: cross-group contributions zero).
+    # This is also precisely the reference's ROW-positional semantics
+    # (relate.py:1295-1521 operates on reset positional indices).
+    # Ungrouped frames keep the join form — an unpartitioned window would
+    # funnel the frame into one task.
+    use_window = n_keys > 0
+    if use_window:
+        from functools import reduce
+        from operator import add
+
+        wspec = Window.partitionBy(
+            *[F.col(f"_tg{i}") for i in range(n_keys)]
+        ).orderBy(F.col("_pos"))
+
+        def shifted(col, d):
+            if d == 0:
+                return col
+            moved = (
+                F.lead(col, d).over(wspec) if d > 0
+                else F.lag(col, -d).over(wspec)
+            )
+            return F.coalesce(moved, F.lit(0.0))
+
+        # S(q) = sum_d dw(d) * len(q + d) within the route
+        s_terms = [shifted(F.col("_len"), d) * F.lit(dw) for d, dw in offsets]
+        s_q = tnarrow.select(
+            F.col("_pos").alias("_q"),
+            reduce(add, s_terms).alias("_S"),
+        )
+    else:
+        # S(q): decay-weighted same-group neighbor length sum per ORIGIN
+        # position (the match's group equals its target row's group by join
+        # construction, so the reference's source-group mask,
+        # relate.py:1480-1495, reduces to a target-group mask)
+        ones = tnarrow.select(
+            "_pos",
+            *[F.col(f"_tg{i}") for i in range(n_keys)],
+            F.lit(1.0).alias("_one"),
+        )
+        s_q = spread(ones, "_one").groupBy("_q").agg(F.sum("_m").alias("_S"))
 
     p = pairs.select(
         F.col(tgt_id).alias("_q"), F.col(src_id).alias("_j"), w.alias("_w")
@@ -225,13 +261,25 @@ def distribute(
     a_q = pj.groupBy("_q").agg(F.sum(mass / safe_tot).alias("_A"))
 
     # spread A(q) over the offsets and scale by len(r) (relate.py:1514-1520);
-    # group by the DESTINATION this time
-    a_rows = a_q.join(
-        tnarrow.select(
-            F.col("_pos"), *[F.col(f"_tg{i}") for i in range(n_keys)]
-        ).withColumnRenamed("_pos", "_q"),
-        on="_q",
-    ).withColumnRenamed("_q", "_pos")
-    agg = spread(a_rows, "_A").groupBy("_r").agg(F.sum("_m").alias(out_col))
+    # destination r receives from origin q = r - d for each offset d
+    if use_window:
+        a_full = tnarrow.join(
+            a_q.withColumnRenamed("_q", "_pos"), on="_pos", how="left"
+        ).withColumn("_A", F.coalesce(F.col("_A"), F.lit(0.0)))
+        o_terms = [
+            shifted(F.col("_A"), -d) * F.lit(dw) for d, dw in offsets
+        ]
+        agg = a_full.select(
+            F.col("_pos").alias("_r"),
+            (F.col("_len") * reduce(add, o_terms)).alias(out_col),
+        )
+    else:
+        a_rows = a_q.join(
+            tnarrow.select(
+                F.col("_pos"), *[F.col(f"_tg{i}") for i in range(n_keys)]
+            ).withColumnRenamed("_pos", "_q"),
+            on="_q",
+        ).withColumnRenamed("_q", "_pos")
+        agg = spread(a_rows, "_A").groupBy("_r").agg(F.sum("_m").alias(out_col))
     out = target.join(agg, on=F.col(EVENT_ID) == F.col("_r"), how="left").drop("_r")
     return out.fillna({out_col: 0.0})
