@@ -663,14 +663,40 @@ def pq_topk(
         books, vec_col, "pq_code",
     ).select("neighbor_id", "pq_code")
 
-    out_schema = StructType([
-        StructField("query_id", LongType()),
-        StructField("neighbor_id", LongType()),
-        StructField("approx", DoubleType()),
-    ])
+    scorer = _make_adc_scorer(b_lut, R, mm, has_cid=False)
+    partials = coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = partials.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= R
+    ).drop("_rn", "approx")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
+_ADC_PARTIAL_SCHEMA = StructType([
+    StructField("query_id", LongType()),
+    StructField("neighbor_id", LongType()),
+    StructField("approx", DoubleType()),
+])
+
+
+def _make_adc_scorer(b_state, R: int, mm: int, has_cid: bool):
+    """Per-partition ADC scorer shared by pq_topk and ivfpq_topk.
+
+    ``b_state`` broadcasts (qids, lut[, allowed]) — ``allowed`` is a
+    (n_queries x n_centroids) bool matrix restricting each query to its
+    probed inverted lists (None = score every row, the flat-PQ path; rows
+    then must not carry a ``_cid`` column). Maintains running per-query
+    top-R tables fully array-form and emits one partial frame per
+    partition: shuffle volume is partitions x queries x R, never corpus x
+    queries.
+    """
 
     def score_partition(batches):
-        qids_l, lut_l = b_lut.value
+        state = b_state.value
+        qids_l, lut_l = state[0], state[1]
+        allowed = state[2] if has_cid else None
         nq = len(qids_l)
         # running per-query top-R, fully array-form: (nq, R) score/id tables
         # seeded with -inf / -1 sentinels (dropped on emit)
@@ -692,6 +718,9 @@ def pq_topk(
                 continue
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             codes = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)
+            cids = (
+                pdf["_cid"].to_numpy(dtype=np.int64) if has_cid else None
+            )
             n = len(ids)
             q_chunk = max(1, min(64, score_budget // max(n, 1)))
             for q0 in range(0, nq, q_chunk):
@@ -705,6 +734,10 @@ def pq_topk(
                 S = np.where(
                     qids_l[q0:q1, None] == ids[None, :], -np.inf, S
                 )
+                if allowed is not None:
+                    # probe-routing mask: a row only competes for queries
+                    # whose probed lists include its centroid
+                    S = np.where(allowed[q0:q1][:, cids], S, -np.inf)
                 cat_s = np.concatenate([best_s[q0:q1], S], axis=1)
                 cat_i = np.concatenate(
                     [best_i[q0:q1], np.broadcast_to(ids, (q1 - q0, n))], axis=1
@@ -713,7 +746,12 @@ def pq_topk(
                 best_s[q0:q1] = np.take_along_axis(cat_s, part, axis=1)
                 best_i[q0:q1] = np.take_along_axis(cat_i, part, axis=1)
 
-        valid = best_i >= 0
+        # drop sentinels AND masked entries: a self-match / unprobed-list
+        # row carries a real id with a -inf score, and when R exceeds a
+        # partition's unmasked candidate count argpartition can keep it —
+        # emitting it would let the exact re-rank resurrect a pair the
+        # mask excluded
+        valid = (best_i >= 0) & np.isfinite(best_s)
         qcol = np.broadcast_to(qids_l[:, None], (nq, R))[valid]
         yield pd.DataFrame(
             {
@@ -723,14 +761,7 @@ def pq_topk(
             }
         )
 
-    partials = coded.mapInPandas(score_partition, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("neighbor_id").asc()
-    )
-    cand = partials.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= R
-    ).drop("_rn", "approx")
-    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, query_id_col)
+    return score_partition
 
 
 def _exact_rerank(
@@ -796,11 +827,15 @@ def ivfpq_topk(
     of the float vector), and an exact re-rank over the surviving
     ``k * rerank_factor`` candidates restores float precision.
 
-    Plan shape: one encode pass (centroid id + PQ code per corpus row), a
-    centroid-id equi-join against the broadcast probe table, one
-    Arrow-batched LUT gather for the approximate scores, a per-query top-R
-    window, then :func:`_exact_rerank`. With ``n_probe = n_centroids``
-    every list is probed and the result equals brute force exactly.
+    Plan shape: one encode pass (centroid id + PQ code per corpus row),
+    then the SAME per-partition partial-top-R scan as :func:`pq_topk` with
+    a broadcast probe-membership mask — a row only competes for queries
+    whose probed lists include its centroid, so no routed-candidate join
+    is ever materialized (an equi-join form ships corpus x n_probe /
+    n_centroids x queries rows through Arrow; the masked scan ships
+    partitions x queries x R). A per-query top-R window then
+    :func:`_exact_rerank`. With ``n_probe = n_centroids`` every list is
+    probed and the result equals brute force exactly.
 
     Pass ``centroids`` / ``codebooks`` to reuse trained quantizers; both
     train on bounded deterministic samples otherwise.
@@ -818,8 +853,11 @@ def ivfpq_topk(
         )
     books = np.asarray(codebooks, dtype=np.float64)
     mm, ncodes, sub = books.shape
+    C = np.asarray(centroids, dtype=np.float64)
+    n_cent = C.shape[0]
+    n_probe = min(n_probe, n_cent)
 
-    # per-query LUTs (same construction as pq_topk), keyed by sorted qid
+    # driver-side per-query LUTs + probe sets (bounded by max_queries)
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     Q = np.zeros((len(qrows), mm * sub), dtype=np.float64)
@@ -828,13 +866,16 @@ def ivfpq_topk(
         Q[i, : min(len(a), mm * sub)] = a[: mm * sub]
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(qrows), mm, sub), books)
-    order = np.argsort(qids)
-    qids_sorted, lut_sorted = qids[order], lut[order]
+    # probe routing: same math as make_ivf_assign_udf (normalized query
+    # dot raw centroid rows)
+    sims = Q @ C.T
+    part = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+    allowed = np.zeros((len(qids), n_cent), dtype=bool)
+    allowed[np.arange(len(qids))[:, None], part] = True
     spark = corpus.sparkSession
-    b_lut = spark.sparkContext.broadcast((qids_sorted, lut_sorted))
+    b_state = spark.sparkContext.broadcast((qids, lut, allowed))
 
     assign1 = make_ivf_assign_udf(centroids, 1)
-    assignp = make_ivf_assign_udf(centroids, n_probe)
     coded = with_pq_codes(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         books, vec_col, "pq_code",
@@ -842,33 +883,13 @@ def ivfpq_topk(
         "neighbor_id", "_cid", "pq_code"
     ).where(F.col("pq_code").isNotNull() & F.col("_cid").isNotNull())
 
-    qp = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(assignp(F.col(vec_col))).alias("_cid"),
-    )
-    cand = coded.join(F.broadcast(qp), on="_cid").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-
-    @F.pandas_udf(DoubleType())
-    def _adc_score(qid: pd.Series, code: pd.Series) -> pd.Series:
-        qids_l, lut_l = b_lut.value
-        qarr = qid.to_numpy(dtype=np.int64)
-        codes = np.stack(code.to_numpy()).astype(np.int64)
-        qidx = np.searchsorted(qids_l, qarr)
-        s = lut_l[qidx, 0, codes[:, 0]]
-        for j in range(1, mm):
-            s = s + lut_l[qidx, j, codes[:, j]]
-        return pd.Series(s)
-
     R = k * rerank_factor
-    scored = cand.withColumn(
-        "approx", _adc_score(F.col("query_id"), F.col("pq_code"))
-    )
+    scorer = _make_adc_scorer(b_state, R, mm, has_cid=True)
+    partials = coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc()
     )
-    topr = scored.withColumn("_rn", F.row_number().over(w)).where(
+    topr = partials.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= R
     ).select("query_id", "neighbor_id")
     return _exact_rerank(topr, corpus, queries, k, id_col, vec_col, query_id_col)
