@@ -654,12 +654,18 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
             break
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + ln]
+        # Truncated segment bodies (short DQT/DHT/SOF/SOS tables) return
+        # None like any other undecodable input — these bytes are
+        # untrusted media inside a UDF, so every declared table length is
+        # bounds-checked before the read instead of trusting the header.
         if marker == 0xDB:
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 15
                 if pq != 0:
                     return None  # 16-bit tables: not baseline
+                if b + 65 > len(body):
+                    return None  # truncated quant table
                 tbl = np.zeros(64, dtype=np.float64)
                 tbl[_ZIGZAG] = np.frombuffer(
                     body, np.uint8, count=64, offset=b + 1
@@ -669,9 +675,13 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
         elif marker == 0xC4:
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    return None  # truncated huffman header
                 cls, tid = body[b] >> 4, body[b] & 15
                 bits = body[b + 1 : b + 17]
                 nv = sum(bits)
+                if b + 17 + nv > len(body):
+                    return None  # truncated huffman values
                 vals = body[b + 17 : b + 17 + nv]
                 table: dict[tuple, int] = {}
                 code = 0
@@ -685,8 +695,10 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
                 huff[(cls, tid)] = table
                 b += 17 + nv
         elif marker == 0xC0:
+            if len(body) < 6:
+                return None
             prec, hh, ww, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec != 8 or len(body) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -697,9 +709,15 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline process
         elif marker == 0xDD:
+            if len(body) < 2:
+                return None
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            if len(body) < 1:
+                return None
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                return None
             stabs = {}
             for c in range(ns):
                 cid, tt = body[1 + c * 2 : 3 + c * 2]
@@ -778,7 +796,8 @@ def decode_jpeg(data: bytes) -> np.ndarray | None:
                             x0 = (mx * h2 + bx) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
                 mcu_count += 1
-    except (EOFError, ValueError):
+    except (EOFError, ValueError, KeyError, IndexError):
+        # KeyError: SOS naming a component id absent from SOF0
         return None
 
     if len(comps) == 1:

@@ -68,6 +68,17 @@ def _find_all(data: bytes, start: int, end: int, btype: bytes):
     return [(b0, b1) for t, b0, b1 in _walk(data, start, end) if t == btype]
 
 
+def _table(data: bytes, off: int, count: int, width: int, fmt_char: str):
+    """Unpack ``count`` fixed-width entries at ``off``; None when the
+    declared count overruns the available bytes (truncated/malformed
+    table — e.g. an stsz claiming 1000 samples with 8 bytes of payload
+    must not raise struct.error inside a Spark task)."""
+    end = off + width * count
+    if count < 0 or end > len(data):
+        return None
+    return struct.unpack(f">{count}{fmt_char}", data[off:end])
+
+
 def parse_mp4_tracks(data: bytes) -> Optional[list[dict]]:
     """MP4 bytes -> per-track metadata + resolved sample byte ranges.
 
@@ -93,16 +104,16 @@ def parse_mp4_tracks(data: bytes) -> Optional[list[dict]]:
         handler = codec = None
         timescale = duration = 0
         hd = _find(data, mdia[0], mdia[1], [b"hdlr"])
-        if hd is not None:
+        if hd is not None and hd[1] - hd[0] >= 12:
             handler = data[hd[0] + 8 : hd[0] + 12].decode("latin1")
         mh = _find(data, mdia[0], mdia[1], [b"mdhd"])
-        if mh is not None:
+        if mh is not None and mh[1] - mh[0] >= 1:
             version = data[mh[0]]
-            if version == 1:
+            if version == 1 and mh[1] - mh[0] >= 32:
                 timescale, duration = struct.unpack(
                     ">IQ", data[mh[0] + 20 : mh[0] + 32]
                 )
-            else:
+            elif version == 0 and mh[1] - mh[0] >= 20:
                 timescale, duration = struct.unpack(
                     ">II", data[mh[0] + 12 : mh[0] + 20]
                 )
@@ -113,48 +124,53 @@ def parse_mp4_tracks(data: bytes) -> Optional[list[dict]]:
         if sd is not None and sd[1] - sd[0] >= 16:
             codec = data[sd[0] + 12 : sd[0] + 16].decode("latin1")
 
+        # Every declared table size below is validated against the bytes
+        # actually present (_table -> None) so truncated or hostile sample
+        # tables skip the track instead of raising struct.error.
+
         # --- sample size table (stsz) ---------------------------------
         sz = _find(data, stbl[0], stbl[1], [b"stsz"])
-        if sz is None:
+        if sz is None or sz[1] - sz[0] < 12:
             continue
         const_size, n_samples = struct.unpack(">II", data[sz[0] + 4 : sz[0] + 12])
         if const_size:
+            # every sample must physically fit in the file
+            if const_size * n_samples > len(data):
+                continue
             sizes = [const_size] * n_samples
         else:
-            sizes = list(
-                struct.unpack(
-                    f">{n_samples}I", data[sz[0] + 12 : sz[0] + 12 + 4 * n_samples]
-                )
-            )
+            tbl = _table(data, sz[0] + 12, n_samples, 4, "I")
+            if tbl is None:
+                continue
+            sizes = list(tbl)
 
         # --- chunk offsets (stco / co64) ------------------------------
         co = _find(data, stbl[0], stbl[1], [b"stco"])
         if co is not None:
-            (n_chunks,) = struct.unpack(">I", data[co[0] + 4 : co[0] + 8])
-            offsets = list(
-                struct.unpack(
-                    f">{n_chunks}I", data[co[0] + 8 : co[0] + 8 + 4 * n_chunks]
-                )
-            )
-        else:
-            co = _find(data, stbl[0], stbl[1], [b"co64"])
-            if co is None:
+            if co[1] - co[0] < 8:
                 continue
             (n_chunks,) = struct.unpack(">I", data[co[0] + 4 : co[0] + 8])
-            offsets = list(
-                struct.unpack(
-                    f">{n_chunks}Q", data[co[0] + 8 : co[0] + 8 + 8 * n_chunks]
-                )
-            )
+            tbl = _table(data, co[0] + 8, n_chunks, 4, "I")
+        else:
+            co = _find(data, stbl[0], stbl[1], [b"co64"])
+            if co is None or co[1] - co[0] < 8:
+                continue
+            (n_chunks,) = struct.unpack(">I", data[co[0] + 4 : co[0] + 8])
+            tbl = _table(data, co[0] + 8, n_chunks, 8, "Q")
+        if tbl is None:
+            continue
+        offsets = list(tbl)
 
         # --- sample -> chunk (stsc), run-length encoded ----------------
         sc = _find(data, stbl[0], stbl[1], [b"stsc"])
-        if sc is None:
+        if sc is None or sc[1] - sc[0] < 8:
             continue
         (n_ent,) = struct.unpack(">I", data[sc[0] + 4 : sc[0] + 8])
+        flat = _table(data, sc[0] + 8, 3 * n_ent, 4, "I")
+        if flat is None:
+            continue
         ents = [
-            struct.unpack(">III", data[sc[0] + 8 + 12 * i : sc[0] + 20 + 12 * i])
-            for i in range(n_ent)
+            flat[3 * i : 3 * i + 3] for i in range(n_ent)
         ]  # (first_chunk 1-based, samples_per_chunk, desc_index)
 
         samples: list[tuple[int, int]] = []
@@ -179,13 +195,10 @@ def parse_mp4_tracks(data: bytes) -> Optional[list[dict]]:
         # --- sync samples (stss), optional ----------------------------
         ss = _find(data, stbl[0], stbl[1], [b"stss"])
         sync = None
-        if ss is not None:
+        if ss is not None and ss[1] - ss[0] >= 8:
             (n_sync,) = struct.unpack(">I", data[ss[0] + 4 : ss[0] + 8])
-            sync = list(
-                struct.unpack(
-                    f">{n_sync}I", data[ss[0] + 8 : ss[0] + 8 + 4 * n_sync]
-                )
-            )
+            tbl = _table(data, ss[0] + 8, n_sync, 4, "I")
+            sync = list(tbl) if tbl is not None else None
         tracks.append(
             {
                 "handler": handler,

@@ -395,6 +395,27 @@ def test_pq_topk_null_embedding_skipped(spark):
     assert all(r.neighbor_id < 100 for r in out.collect())
 
 
+def test_pq_ivfpq_null_query_vector_skipped(spark):
+    """A null QUERY embedding must be dropped, not crash the driver-side
+    LUT build (np.asarray(None) is a 0-d array); non-null queries still
+    get results."""
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    good_q = df.where("vec_id < 2")
+    null_q = spark.createDataFrame(
+        [(200, None)], "vec_id long, embedding array<float>"
+    )
+    queries = good_q.unionByName(null_q)
+
+    out = ANN.pq_topk(df, queries, dim=4, k=3, m=2, n_codes=8)
+    assert {r.query_id for r in out.collect()} == {0, 1}
+
+    out2 = ANN.ivfpq_topk(
+        df, queries, dim=4, k=3, n_centroids=4, n_probe=4, m=2, n_codes=8
+    )
+    assert {r.query_id for r in out2.collect()} == {0, 1}
+
+
 def test_ivfpq_topk_recall_and_full_probe_exact(spark):
     """IVF x PQ composition: with every list probed and a generous rerank
     the result EQUALS brute force; with a partial probe recall@10 stays
