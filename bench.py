@@ -146,12 +146,12 @@ def bench_queries(spark):
         )
 
     def q_seg_split():
-        # binned relate-back: the integrate relate-back join is the cost
-        # center of split_at_locs and the measure-bin pruning wins ~1.5x
-        # over the route-equi cross product (profiled at sf0.1)
+        # default strategy (AUTO): one stats pass resolves to a binned
+        # relate-back with a derived bin size — measured within noise of
+        # the hand-tuned binned(25) (4.63s vs 4.48s median at sf0.1) and
+        # it is what a default-arguments user gets at 100x
         materialize(
-            split_at_locs(seg1, pts, E.SEG_LRS, E.PTS_LRS, inverse_col="six",
-                          strategy=BINNED)
+            split_at_locs(seg1, pts, E.SEG_LRS, E.PTS_LRS, inverse_col="six")
         )
 
     def q_minhash_lsh():

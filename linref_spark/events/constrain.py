@@ -17,7 +17,7 @@ from linref_spark.events.integrate import integrate
 from linref_spark.events.modify import dissolve as dissolve_op
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.relate import agg as AGG
-from linref_spark.relate.join import EQUI, JoinStrategy, intersect_pairs
+from linref_spark.relate.join import AUTO, JoinStrategy, intersect_pairs
 
 
 def constrain_to(
@@ -28,7 +28,7 @@ def constrain_to(
     dissolve: bool = True,
     inverse_col: str = "constrained_index",
     attr_cols: Optional[Sequence[str]] = None,
-    strategy: JoinStrategy = EQUI,
+    strategy: JoinStrategy = AUTO,
 ) -> DataFrame:
     """Clip subject events to the coverage of reference events.
 
@@ -83,7 +83,7 @@ def impute_keys(
     lrs: LRS,
     other_lrs: LRS,
     impute_cols: Sequence[str],
-    strategy: JoinStrategy = EQUI,
+    strategy: JoinStrategy = AUTO,
 ) -> DataFrame:
     """Fill missing key columns on ``df`` from ``other`` via a reduced-key
     relation + first-match aggregation (``ext/base.py:1587-1672``).
@@ -111,7 +111,7 @@ def split_at_locs(
     locs_lrs: LRS,
     inverse_col: str = "split_index",
     attr_cols: Optional[Sequence[str]] = None,
-    strategy: JoinStrategy = EQUI,
+    strategy: JoinStrategy = AUTO,
 ) -> DataFrame:
     """Split linear events at point locations on the same routes.
 

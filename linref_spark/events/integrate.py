@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from linref_spark.events.frame import global_ordinal_id
 from linref_spark.lrs import EVENT_ID, LRS
 from linref_spark.relate.join import (
-    EQUI,
+    AUTO,
     JoinStrategy,
     LEFT_ID,
     RIGHT_ID,
@@ -39,7 +39,7 @@ def integrate(
     fill_gaps: bool = False,
     split_at_locs: bool = False,
     expand: bool = False,
-    strategy: JoinStrategy = EQUI,
+    strategy: JoinStrategy = AUTO,
     dense_ids: bool = True,
     relate_layers: "Optional[Sequence[int]]" = None,
 ) -> DataFrame:

@@ -54,17 +54,24 @@ class JoinStrategy:
     - ``kind='equi'``: join on route keys only; theta evaluated as a filter.
     - ``kind='binned'``: add measure-axis bins of width ``bin_size`` to the
       join key (scale path for hot routes / ungrouped data).
+    - ``kind='auto'``: measure the inputs once (per-group row counts +
+      interval-length stats, one cheap aggregate job over the narrow
+      projections) and pick equi vs binned-with-a-derived-bin-size. This
+      is the DEFAULT for the composition operators (integrate /
+      constrain_to / split_at_locs): a default-arguments user on a hot
+      route gets the bounded-occupancy plan without knowing the knob
+      exists. See :func:`_resolve_auto` for the heuristic.
     - ``broadcast``: broadcast the right side (use when right is a small
       dimension, e.g. dissolved route geometry).
-    - ``salt_buckets`` (binned only): also split each (group, bin) join key
-      ``S`` ways — left rows take ``hash(id) % S``, right rows replicate to
-      all ``S`` salts. Binning normally spreads hot routes by the measure
-      axis, but it stops helping when MANY IDENTICAL ``[beg, end]``
-      intervals flood one bin (degenerate duplicated data): every copy
-      lands on the same (group, bin) reducer. Salting bounds that reducer
-      at 1/S of the flood for an S-times replication of the (narrow) right
-      side. Results are identical: each candidate pair meets on exactly
-      one salt.
+    - ``salt_buckets`` (binned/auto only): also split each (group, bin)
+      join key ``S`` ways — left rows take ``hash(id) % S``, right rows
+      replicate to all ``S`` salts. Binning normally spreads hot routes by
+      the measure axis, but it stops helping when MANY IDENTICAL
+      ``[beg, end]`` intervals flood one bin (degenerate duplicated data):
+      every copy lands on the same (group, bin) reducer. Salting bounds
+      that reducer at 1/S of the flood for an S-times replication of the
+      (narrow) right side. Results are identical: each candidate pair
+      meets on exactly one salt.
     """
 
     kind: str = "equi"
@@ -73,12 +80,12 @@ class JoinStrategy:
     salt_buckets: Optional[int] = None
 
     def __post_init__(self):
-        if self.kind not in ("equi", "binned"):
-            raise ValueError("strategy kind must be 'equi' or 'binned'")
+        if self.kind not in ("equi", "binned", "auto"):
+            raise ValueError("strategy kind must be 'equi', 'binned' or 'auto'")
         if self.kind == "binned" and not (self.bin_size and self.bin_size > 0):
             raise ValueError("binned strategy requires a positive bin_size")
         if self.salt_buckets is not None:
-            if self.kind != "binned":
+            if self.kind == "equi":
                 raise ValueError(
                     "salt_buckets applies to the binned strategy only "
                     "(the equi join key has no measure axis to flood)"
@@ -88,6 +95,14 @@ class JoinStrategy:
 
 
 EQUI = JoinStrategy("equi")
+AUTO = JoinStrategy("auto")
+
+# auto heuristic knobs: switch to binned when the hottest shared group
+# holds more rows than this on either side (the equi join's per-task pair
+# count grows as n_l * n_r of that group) ...
+AUTO_OCCUPANCY_THRESHOLD = 512
+# ... and size bins so the hottest group spreads to ~occ/target bins.
+AUTO_TARGET_OCCUPANCY = 64
 
 
 def _require_event_id(df: DataFrame, side: str) -> None:
@@ -127,6 +142,85 @@ def _group_condition(llrs: LRS, rlrs: LRS) -> Optional[Column]:
         c = F.col(f"l_g{i}") == F.col(f"r_g{i}")
         cond = c if cond is None else (cond & c)
     return cond
+
+
+def _side_stats(narrow: DataFrame, lrs: LRS, side: str) -> DataFrame:
+    """Per-group (rows, interval-length sum, measure lo/hi) on a narrow
+    projection — partial-aggregated map-side, so the job is a scan plus a
+    tiny shuffle of one row per group."""
+    gcols = [f"{side}_g{i}" for i in range(len(lrs.key_cols))]
+    if lrs.is_linear:
+        lo, hi = F.col(f"{side}_beg"), F.col(f"{side}_end")
+        ln = hi - lo
+    else:
+        lo = hi = F.col(f"{side}_loc")
+        ln = F.lit(0.0)
+    return gcols, narrow.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias(f"{side}_n"),
+        F.sum(ln).alias(f"{side}_lensum"),
+        F.min(lo).alias(f"{side}_lo"),
+        F.max(hi).alias(f"{side}_hi"),
+    )
+
+
+def _resolve_auto(
+    lnarrow: DataFrame,
+    rnarrow: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    strategy: JoinStrategy,
+) -> JoinStrategy:
+    """Measure the join inputs once and pick the physical strategy.
+
+    Heuristic: find the hottest group SHARED by both sides (groups on one
+    side only produce no pairs). If neither side exceeds
+    ``AUTO_OCCUPANCY_THRESHOLD`` rows there, the per-group theta filter is
+    cheap — use equi. Otherwise bin the measure axis so the hot group
+    spreads across ~occ/AUTO_TARGET_OCCUPANCY bins, floored at the mean
+    interval length so per-row bin replication stays <= ~2x
+    (replication = len/bin_size + 1).
+    """
+    lg, ls = _side_stats(lnarrow, llrs, "l")
+    rg, rs = _side_stats(rnarrow, rlrs, "r")
+    if lg:
+        cond = None
+        for a, b in zip(lg, rg):
+            c = F.col(a).eqNullSafe(F.col(b))
+            cond = c if cond is None else (cond & c)
+        joined = ls.join(rs, on=cond, how="inner")
+    else:
+        joined = ls.crossJoin(rs)
+    occ = F.greatest(F.col("l_n"), F.col("r_n"))
+    span = F.greatest(F.col("l_hi"), F.col("r_hi")) - F.least(
+        F.col("l_lo"), F.col("r_lo")
+    )
+    row = joined.select(
+        F.max(F.struct(occ.alias("occ"), span.alias("span"))).alias("hot"),
+        (
+            (F.sum("l_lensum") + F.sum("r_lensum"))
+            / (F.sum("l_n") + F.sum("r_n"))
+        ).alias("avg_len"),
+    ).first()
+    equi = JoinStrategy("equi", broadcast=strategy.broadcast)
+    if row is None or row["hot"] is None:
+        return equi  # no shared groups: the join is empty either way
+    hot_occ, hot_span = row["hot"]["occ"], row["hot"]["span"]
+    if (
+        hot_occ <= AUTO_OCCUPANCY_THRESHOLD
+        or hot_span is None
+        or not hot_span > 0.0
+    ):
+        return equi
+    avg_len = float(row["avg_len"] or 0.0)
+    bin_size = max(
+        float(hot_span) * AUTO_TARGET_OCCUPANCY / float(hot_occ), avg_len
+    )
+    return JoinStrategy(
+        "binned",
+        bin_size=bin_size,
+        broadcast=strategy.broadcast,
+        salt_buckets=strategy.salt_buckets,
+    )
 
 
 def _candidates_binned(
@@ -186,6 +280,8 @@ def candidates(
     llrs.check_compatibility(rlrs)
     lnarrow = _narrow(left, llrs, "l", mod_edges)
     rnarrow = _narrow(right, rlrs, "r", mod_edges)
+    if strategy.kind == "auto":
+        strategy = _resolve_auto(lnarrow, rnarrow, llrs, rlrs, strategy)
     if strategy.kind == "binned":
         return _candidates_binned(lnarrow, rnarrow, llrs, rlrs, strategy)
     rside = F.broadcast(rnarrow) if strategy.broadcast else rnarrow

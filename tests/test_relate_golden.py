@@ -323,6 +323,63 @@ def test_binned_equals_equi_linear(spark, closed):
     assert np.allclose(wa, wb)
 
 
+@pytest.mark.parametrize("closed", ["left", "both", "left_mod"])
+def test_auto_equals_equi_linear(spark, closed):
+    """kind='auto' must resolve to SOME physical strategy with identical
+    results (small groups here resolve to equi; the resolution itself must
+    not perturb pair sets or weights)."""
+    from linref_spark.relate.join import AUTO
+
+    left, llrs = make_events(
+        spark,
+        begs=[0, 5, 10, 10, 20, 0], ends=[10, 15, 20, 18, 30, 3],
+        groups=[1, 1, 1, 2, 2, 2], closed=closed,
+    )
+    right, rlrs = make_events(
+        spark,
+        begs=[10, 0, 18, 3, 25, 30], ends=[20, 5, 25, 10, 35, 40],
+        groups=[1, 1, 2, 2, 2, 1], closed=closed,
+    )
+    a = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs, strategy=EQUI), 6, 6)
+    b = pairs_to_matrix(intersect_pairs(left, right, llrs, rlrs, strategy=AUTO), 6, 6)
+    assert np.array_equal(a, b)
+
+
+def test_auto_resolution_picks_binned_on_hot_group(spark):
+    """A group above the occupancy threshold resolves to binned with a
+    positive derived bin size; results equal the equi plan."""
+    from linref_spark.relate.join import (
+        AUTO,
+        AUTO_OCCUPANCY_THRESHOLD,
+        _narrow,
+        _resolve_auto,
+    )
+
+    n = AUTO_OCCUPANCY_THRESHOLD + 100
+    begs = [float(i % 200) for i in range(n)]
+    ends = [b + 5.0 for b in begs]
+    left, llrs = make_events(
+        spark, begs=begs, ends=ends, groups=[1] * n, closed="left"
+    )
+    ln = _narrow(left, llrs, "l", False)
+    rn = _narrow(left, llrs, "r", False)
+    resolved = _resolve_auto(ln, rn, llrs, llrs, AUTO)
+    assert resolved.kind == "binned" and resolved.bin_size > 0
+
+    # and a small frame resolves to equi
+    small, slrs = make_events(
+        spark, begs=[0, 5], ends=[10, 15], groups=[1, 1], closed="left"
+    )
+    sn = _narrow(small, slrs, "l", False)
+    sn2 = _narrow(small, slrs, "r", False)
+    assert _resolve_auto(sn, sn2, slrs, slrs, AUTO).kind == "equi"
+
+    # equality of results on the hot frame (subsample pairs for speed)
+    eq = intersect_pairs(left, left, llrs, llrs, strategy=EQUI).count()
+    au = intersect_pairs(left, left, llrs, llrs, strategy=AUTO).count()
+    assert eq == au
+
+
 def test_value_counts_pivot(spark, agg_fixture):
     left, right, ipairs, _ = agg_fixture
     out = A.agg_value_counts(ipairs, left, right, "val", axis=1)
