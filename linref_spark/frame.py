@@ -339,13 +339,12 @@ class LinrefFrame:
         self, text_col: str = "text", id_col: str = EVENT_ID, **kw
     ) -> "LinrefFrame":
         """Append ``canonical_id`` (minhash-LSH -> connected components);
-        keep ``id == canonical_id`` rows for a one-per-cluster dedup. The
-        module function returns the bare label table; the facade joins it
-        back so the frame keeps its event columns."""
+        keep ``id == canonical_id`` rows for a one-per-cluster dedup.
+        Plain passthrough — the module function already returns the
+        labeled full frame (``near_dup_labels`` for the bare table)."""
         from linref_spark.web import dedup as _dd
 
-        labels = _dd.near_dup_groups(self.df, text_col, id_col, **kw)
-        return self._wrap(self.df.join(labels, on=id_col, how="left"))
+        return self._wrap(_dd.near_dup_groups(self.df, text_col, id_col, **kw))
 
     def minhash_pairs(
         self, text_col: str = "text", id_col: str = EVENT_ID, **kw

@@ -422,7 +422,7 @@ def simhash_band_pairs(
     return pairs.select("a", "b").distinct()
 
 
-def near_dup_groups(
+def near_dup_labels(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -434,13 +434,10 @@ def near_dup_groups(
     hash_name: str = "xxhash64",
     out_col: str = "canonical_id",
 ) -> DataFrame:
-    """Near-duplicate CLUSTERS, not just pairs: minhash-LSH candidates
+    """Bare near-dup label table (id_col, out_col): minhash-LSH candidates
     (optionally verified by true n-gram Jaccard >= ``jaccard_threshold``)
-    -> connected components -> each doc labeled with its cluster's lowest
-    doc id. The standard training-data dedup shape: keep rows where
-    ``doc_id == canonical_id`` to retain one representative per near-dup
-    cluster (transitively — A~B~C collapses even when A and C never
-    bucket together).
+    -> connected components -> each doc id mapped to its cluster's lowest
+    doc id. Use :func:`near_dup_groups` for the labeled full frame.
 
     Scale: candidate generation is the capped banded self-join
     (:func:`minhash_lsh_pairs`); components run in the DataFrame-native
@@ -464,3 +461,31 @@ def near_dup_groups(
         out_col=out_col,
     )
     return labeled
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    jaccard_threshold: float | None = None,
+    hash_name: str = "xxhash64",
+    out_col: str = "canonical_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: the input frame with
+    ``out_col`` appended — each row labeled with its cluster's lowest doc
+    id. The standard training-data dedup shape: keep rows where
+    ``doc_id == canonical_id`` to retain one representative per near-dup
+    cluster (transitively — A~B~C collapses even when A and C never
+    bucket together). One shape everywhere: the facade method is a plain
+    passthrough of this function; :func:`near_dup_labels` returns the
+    bare (id, label) table when only the mapping is needed.
+    """
+    labels = near_dup_labels(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket,
+        jaccard_threshold, hash_name, out_col,
+    )
+    return df.join(labels, on=id_col, how="left")

@@ -312,6 +312,8 @@ def test_near_dup_groups_transitive(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     out = near_dup_groups(df, num_hashes=16, bands=8)
+    # unified shape: the full input frame + the label column
+    assert set(out.columns) == {"doc_id", "text", "canonical_id"}
     lab = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
     assert lab[0] == lab[1] == lab[2] == 0      # transitive collapse
     assert lab[10] == lab[11] == 10             # the other cluster
