@@ -36,15 +36,15 @@ source's normalization total is ``tot_j = sum_q w * S(q)`` where
 depends on q ALONE (every match shares the target's group by the join
 construction). The plan therefore runs:
 
-1. ``S(q)``: explode the TARGET rows over offsets (K*T rows, T = target
-   count), position+group join back, one groupBy;
+1. ``S(q)``: positional lead/lag window over the TARGET rows (grouped:
+   partitioned by route; ungrouped: partitioned by dense-ordinal buckets
+   with decay_size halo replication — no SinglePartition);
 2. ``tot_j``: join matches to S(q) on position, groupBy source — O(P);
 3. ``A(q) = sum_j w * v_j / tot_j`` per match position — O(P);
-4. spread: explode A over offsets (K*T rows), position+group join, scale
-   by len(r), groupBy r.
+4. spread: the same positional window over A, scaled by len(r).
 
 The O(K*P) exploded table and its window never exist; the heavy stages
-touch P rows twice and K*T rows twice (T << P whenever matches fan out).
+touch P rows twice and T rows twice (T << P whenever matches fan out).
 Measured 3-4x on the sf1-proxy bench (BENCH/BASELINE.md round 3). The
 zero-total fallback (divide only when tot != 0) is preserved exactly:
 weights/lengths are non-negative for built-in decays, and for custom
@@ -101,6 +101,45 @@ def make_decay(decay_func: Union[str, DecayFn], decay_size: int) -> DecayFn:
     )
 
 
+def _assert_pos_contiguous(tnarrow: DataFrame, n_keys: int):
+    """Raise unless _pos is contiguous (per group when grouped, globally
+    otherwise). Returns (min_pos, row_count) for the ungrouped case so
+    the caller can size window buckets without a second job."""
+    gcols = [F.col(f"_tg{i}") for i in range(n_keys)]
+    stats = tnarrow.groupBy(*gcols).agg(
+        F.min("_pos").alias("_mn"),
+        F.max("_pos").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    if n_keys:
+        bad = stats.where(
+            F.col("_mx") - F.col("_mn") + F.lit(1) != F.col("_n")
+        ).first()
+        if bad is not None:
+            raise ValueError(
+                "distribute: target event ids are not contiguous within "
+                "group "
+                + str(tuple(bad[i] for i in range(n_keys)))
+                + f" (ids span [{bad['_mn']}, {bad['_mx']}] over "
+                f"{bad['_n']} rows). distribute's positional neighbor "
+                "semantics need a dense canonical id — re-mint with "
+                "linref_spark.events.frame.add_event_id after any filter."
+            )
+        return None
+    row = stats.first()
+    if row is None or row["_n"] == 0:
+        return (0, 0)
+    if row["_mx"] - row["_mn"] + 1 != row["_n"]:
+        raise ValueError(
+            "distribute: target event ids are not contiguous (ids span "
+            f"[{row['_mn']}, {row['_mx']}] over {row['_n']} rows). "
+            "distribute's positional neighbor semantics need a dense "
+            "canonical id — re-mint with "
+            "linref_spark.events.frame.add_event_id after any filter."
+        )
+    return (row["_mn"], row["_n"])
+
+
 def distribute(
     pairs: DataFrame,
     target: DataFrame,
@@ -144,13 +183,6 @@ def distribute(
             offsets.append((-s, dw))
         if direction in ("backward", "back", "both"):
             offsets.append((s, dw))
-    off_arr = F.array(
-        *[
-            F.struct(F.lit(d).alias("d"), F.lit(dw).alias("dw"))
-            for d, dw in offsets
-        ]
-    )
-
     if length_normalize and not target_lrs.is_linear:
         raise ValueError("length_normalize requires linear target events")
 
@@ -168,69 +200,92 @@ def distribute(
 
     n_keys = len(target_lrs.key_cols)
 
-    def spread(df: DataFrame, mass: str) -> DataFrame:
-        """Explode rows at origin ``_pos`` over the offsets, join the
-        target positions on destination + same group, scale by
-        dw * len(destination). Output: (_q origin, _r destination, _m)
-        rows. Runs only on T-sized inputs."""
-        e = df.withColumn("_off", F.explode(off_arr)).select(
-            F.col("_pos").alias("_q"),
-            (F.col("_pos") + F.col("_off.d")).alias("_r"),
-            *[F.col(f"_tg{i}").alias(f"_qg{i}") for i in range(n_keys)],
-            (F.col(mass) * F.col("_off.dw")).alias("_m0"),
-        )
-        cond = F.col("_r") == F.col("_pos")
-        for i in range(n_keys):
-            cond = cond & (F.col(f"_qg{i}") == F.col(f"_tg{i}"))
-        j = e.join(tnarrow, on=cond, how="inner")
-        return j.select("_q", "_r", (F.col("_m0") * F.col("_len")).alias("_m"))
+    # The positional semantics require _pos (the target's event_id) to be
+    # CONTIGUOUS — per group for grouped frames, globally for ungrouped:
+    # lead/lag moves by ROWS, so a gap (e.g. a frame filtered after
+    # add_event_id) would silently shift "position q+d" off "d rows
+    # ahead". The reference resets positional indices before distributing
+    # (relate.py:1295-1521 operates on a reset index), so non-dense ids
+    # are a caller error here, checked cheaply (one tiny agg job) instead
+    # of documented-only.
+    pos_stats = _assert_pos_contiguous(tnarrow, n_keys)
 
-    # Grouped frames take the WINDOW form of both spread stages: canonical
-    # order keeps each route's rows contiguous in _pos, so "position q+d"
-    # is exactly "d rows ahead" inside a route-partitioned window ordered
-    # by _pos — lead/lag expressions (pure whole-stage codegen, one
-    # route-hash exchange) replace the explode(K*T) + position join +
-    # groupBy round-trips, and the partition boundary IS the reference's
-    # group mask (relate.py:1480-1495: cross-group contributions zero).
-    # This is also precisely the reference's ROW-positional semantics
-    # (relate.py:1295-1521 operates on reset positional indices).
-    # Ungrouped frames keep the join form — an unpartitioned window would
-    # funnel the frame into one task.
-    use_window = n_keys > 0
-    if use_window:
-        from functools import reduce
-        from operator import add
+    # Both spread stages run as WINDOW forms: "position q+d" is "d rows
+    # ahead" inside a positional window ordered by _pos — lead/lag
+    # expressions (pure whole-stage codegen, one exchange) replace the
+    # explode(K*T) + position join + groupBy round-trips.
+    #
+    # - Grouped frames partition the window by the route keys; the
+    #   partition boundary IS the reference's group mask
+    #   (relate.py:1480-1495: cross-group contributions zero).
+    # - Ungrouped frames partition by measure-axis BUCKETS of the dense
+    #   ordinal, replicating each row into the neighbor bucket when it
+    #   sits within decay_size of a bucket edge (halo rows). Owned rows
+    #   see every neighbor they need inside their bucket; halo replicas
+    #   are filtered from the output. Same 1-exchange plan, no
+    #   SinglePartition — the old join form's extra explode+join+groupBy
+    #   round-trip per stage is gone.
+    from functools import reduce
+    from operator import add
 
+    if n_keys:
         wspec = Window.partitionBy(
             *[F.col(f"_tg{i}") for i in range(n_keys)]
         ).orderBy(F.col("_pos"))
-
-        def shifted(col, d):
-            if d == 0:
-                return col
-            moved = (
-                F.lead(col, d).over(wspec) if d > 0
-                else F.lag(col, -d).over(wspec)
-            )
-            return F.coalesce(moved, F.lit(0.0))
-
-        # S(q) = sum_d dw(d) * len(q + d) within the route
-        s_terms = [shifted(F.col("_len"), d) * F.lit(dw) for d, dw in offsets]
-        s_q = tnarrow.select(
-            F.col("_pos").alias("_q"),
-            reduce(add, s_terms).alias("_S"),
-        )
     else:
-        # S(q): decay-weighted same-group neighbor length sum per ORIGIN
-        # position (the match's group equals its target row's group by join
-        # construction, so the reference's source-group mask,
-        # relate.py:1480-1495, reduces to a target-group mask)
-        ones = tnarrow.select(
-            "_pos",
-            *[F.col(f"_tg{i}") for i in range(n_keys)],
-            F.lit(1.0).alias("_one"),
+        n_rows = pos_stats[1]
+        spark = target.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        bucket = max(
+            2 * decay_size + 1,
+            -(-n_rows // max(parts * 4, 1)),  # ceil div: ~4 buckets/task
+            64,
         )
-        s_q = spread(ones, "_one").groupBy("_q").agg(F.sum("_m").alias("_S"))
+        wspec = Window.partitionBy(F.col("_bkt")).orderBy(F.col("_pos"))
+
+    def shifted(col, d):
+        if d == 0:
+            return col
+        moved = (
+            F.lead(col, d).over(wspec) if d > 0
+            else F.lag(col, -d).over(wspec)
+        )
+        return F.coalesce(moved, F.lit(0.0))
+
+    def windowed(df: DataFrame, expr_alias) -> DataFrame:
+        """(_pos, expr) per OWNED row, where expr combines `shifted`
+        columns of ``df``. Handles the halo replication for the bucketed
+        ungrouped window."""
+        alias, build = expr_alias
+        if n_keys:
+            return df.select(F.col("_pos"), build(shifted).alias(alias))
+        d = F.lit(decay_size)
+        b = F.lit(bucket)
+        halo = F.array_distinct(
+            F.array(
+                F.floor(F.col("_pos") / b),
+                F.floor((F.col("_pos") - d) / b),
+                F.floor((F.col("_pos") + d) / b),
+            )
+        )
+        e = df.withColumn("_bkt", F.explode(halo))
+        out = e.select(
+            F.col("_pos"), F.col("_bkt"), build(shifted).alias(alias)
+        )
+        return out.where(F.floor(F.col("_pos") / b) == F.col("_bkt")).drop(
+            "_bkt"
+        )
+
+    # S(q) = sum_d dw(d) * len(q + d) within the group / frame
+    s_q = windowed(
+        tnarrow,
+        (
+            "_S",
+            lambda sh: reduce(
+                add, [sh(F.col("_len"), d) * F.lit(dw) for d, dw in offsets]
+            ),
+        ),
+    ).withColumnRenamed("_pos", "_q")
 
     p = pairs.select(
         F.col(tgt_id).alias("_q"), F.col(src_id).alias("_j"), w.alias("_w")
@@ -262,24 +317,18 @@ def distribute(
 
     # spread A(q) over the offsets and scale by len(r) (relate.py:1514-1520);
     # destination r receives from origin q = r - d for each offset d
-    if use_window:
-        a_full = tnarrow.join(
-            a_q.withColumnRenamed("_q", "_pos"), on="_pos", how="left"
-        ).withColumn("_A", F.coalesce(F.col("_A"), F.lit(0.0)))
-        o_terms = [
-            shifted(F.col("_A"), -d) * F.lit(dw) for d, dw in offsets
-        ]
-        agg = a_full.select(
-            F.col("_pos").alias("_r"),
-            (F.col("_len") * reduce(add, o_terms)).alias(out_col),
-        )
-    else:
-        a_rows = a_q.join(
-            tnarrow.select(
-                F.col("_pos"), *[F.col(f"_tg{i}") for i in range(n_keys)]
-            ).withColumnRenamed("_pos", "_q"),
-            on="_q",
-        ).withColumnRenamed("_q", "_pos")
-        agg = spread(a_rows, "_A").groupBy("_r").agg(F.sum("_m").alias(out_col))
+    a_full = tnarrow.join(
+        a_q.withColumnRenamed("_q", "_pos"), on="_pos", how="left"
+    ).withColumn("_A", F.coalesce(F.col("_A"), F.lit(0.0)))
+    agg = windowed(
+        a_full,
+        (
+            out_col,
+            lambda sh: F.col("_len")
+            * reduce(
+                add, [sh(F.col("_A"), -d) * F.lit(dw) for d, dw in offsets]
+            ),
+        ),
+    ).withColumnRenamed("_pos", "_r")
     out = target.join(agg, on=F.col(EVENT_ID) == F.col("_r"), how="left").drop("_r")
     return out.fillna({out_col: 0.0})

@@ -91,6 +91,37 @@ def test_distribute_group_masking(spark):
     assert sum(res) == pytest.approx(1.0)
 
 
+def test_distribute_rejects_noncontiguous_ids(spark):
+    """A target filtered after add_event_id (gapped _pos) must raise a
+    clear error instead of silently shifting neighbor positions — the
+    window form moves by ROWS, the reference by a reset dense index."""
+    left, llrs = make_events(
+        spark, begs=[0, 10, 20, 30, 40], ends=[10, 20, 30, 40, 50]
+    )
+    right, rlrs = make_events(spark, begs=[15], ends=[25], extra={"val": [1.0]})
+    gapped = left.where("event_id != 2")  # dense 0..4 -> 0,1,3,4
+    op = overlay_pairs(gapped, right, llrs, rlrs)
+    with pytest.raises(ValueError, match="contiguous"):
+        distribute(
+            op, gapped, right, llrs, rlrs, value_col="val", decay_size=1
+        ).collect()
+
+    # grouped variant: gap inside one route
+    gleft, gllrs = make_events(
+        spark, begs=[0, 10, 20, 0], ends=[10, 20, 30, 10],
+        groups=["A", "A", "A", "B"],
+    )
+    gright, grlrs = make_events(
+        spark, begs=[5], ends=[15], groups=["A"], extra={"val": [1.0]}
+    )
+    ggap = gleft.where("event_id != 1")
+    gop = overlay_pairs(ggap, gright, gllrs, grlrs)
+    with pytest.raises(ValueError, match="contiguous"):
+        distribute(
+            gop, ggap, gright, gllrs, grlrs, value_col="val", decay_size=1
+        ).collect()
+
+
 def test_distribute_hin_conservation(spark):
     # segments x crashes: every matched crash's unit value is fully
     # distributed -> sum == n matched crashes (test_integration.py:355-361)
