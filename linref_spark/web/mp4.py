@@ -248,11 +248,16 @@ def encode_mp4_stub(
     sample_duration: int = 40,
     keyframe_every: int = 4,
     samples_per_chunk: int = 3,
+    codec: bytes = b"fake",
 ) -> bytes:
-    """Valid single-video-track MP4 whose mdat carries the given fake
-    sample payloads (DETERMINISTIC FAKE codec data — not real video; the
-    container structure and sample tables are real and spec-conformant).
-    Chunks of ``samples_per_chunk`` exercise the stsc run-length path."""
+    """Valid single-video-track MP4 whose mdat carries the given sample
+    payloads. With the default ``codec=b'fake'`` the payloads are
+    DETERMINISTIC FAKE codec data — not real video; pass ``codec=b'jpeg'``
+    with baseline-JPEG payloads for a real decodable MJPEG-in-MP4 file
+    (Motion JPEG: every sample is an independent JPEG image). The
+    container structure and sample tables are real and spec-conformant
+    either way. Chunks of ``samples_per_chunk`` exercise the stsc
+    run-length path."""
     n = len(sample_payloads)
     sizes = [len(p) for p in sample_payloads]
     mdat_payload = b"".join(sample_payloads)
@@ -275,7 +280,7 @@ def encode_mp4_stub(
     stsd = _box(
         b"stsd",
         struct.pack(">B3xI", 0, 1)
-        + _box(b"fake", struct.pack(">6xH", 1)),  # fake codec entry
+        + _box(codec, struct.pack(">6xH", 1)),  # sample-entry fourcc
     )
     stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n, sample_duration))
     stsc_entries = [(1, samples_per_chunk, 1)]
@@ -314,3 +319,61 @@ def encode_mp4_stub(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+# --- MJPEG-in-MP4: the real end-to-end video path -------------------------------
+#
+# Motion JPEG stores every video sample as an independent baseline JPEG,
+# so the pure-numpy JPEG codec (linref_spark/web/codecs.py) decodes real
+# frames straight out of the demuxed byte ranges — no media library.
+# H.264/H.265 payload decode remains the declared stub.
+
+_MJPEG_FOURCC = {"jpeg", "mjpa", "mjpb", "MJPG", "AVDJ"}
+
+
+def decode_mp4_mjpeg(data: bytes, frame: int = 0):
+    """MP4 bytes -> (h, w, 3) uint8 RGB of the ``frame``-th video sample,
+    when the track is Motion JPEG (or the sample simply IS a baseline
+    JPEG — the payload magic decides, the fourcc is advisory). None for
+    unparseable containers, missing frames, or non-JPEG payloads."""
+    from linref_spark.web import codecs as _C
+
+    tracks = parse_mp4_tracks(data)
+    if not tracks:
+        return None
+    video = next((t for t in tracks if t["handler"] == "vide"), None)
+    if video is None or frame >= len(video["samples"]):
+        return None
+    off, sz = video["samples"][frame]
+    return _C.decode_jpeg(data[off : off + sz])
+
+
+def encode_mp4_mjpeg(img, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 -> single-frame MJPEG-in-MP4: a real container
+    (fourcc 'jpeg') whose one video sample is a baseline JPEG, so the
+    resize pipeline re-emits bytes that demux AND decode again."""
+    from linref_spark.web import codecs as _C
+
+    return encode_mp4_stub(
+        [_C.encode_jpeg_baseline(img, quality=quality)], codec=b"jpeg"
+    )
+
+
+def mp4_mjpeg_feature(data: bytes):
+    """MP4 bytes -> 16-dim feature of the first video frame (MJPEG only);
+    None when the container or payload is not decodable."""
+    from linref_spark.web import codecs as _C
+
+    img = decode_mp4_mjpeg(bytes(data)) if data is not None else None
+    if img is None:
+        return None
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    yi = np.minimum((np.arange(h) * 4) // h, 3)
+    xi = np.minimum((np.arange(w) * 4) // w, 3)
+    bid = (yi[:, None] * 4 + xi[None, :]).ravel()
+    sums = np.bincount(bid, weights=gray.ravel(), minlength=16)
+    cnts = np.maximum(np.bincount(bid, minlength=16), 1)
+    return (sums / cnts / 255.0).astype(np.float32)

@@ -6,9 +6,11 @@ sidecar metadata). The Spark-side plumbing is real and tested: schemas,
 partition-friendly batch shapes, ``mapInPandas`` iterator UDFs with
 bounded memory. The codec registry is proven end-to-end with REAL
 pure-numpy parsers (:mod:`linref_spark.web.codecs`): 24-bit BMP, PNG,
-baseline JPEG (4:2:0/4:4:4) images and PCM16 WAV audio. Only mp4/video
-demuxing remains a declared stub (no media libraries in this container)
-— registering a pyav callable is a one-line swap.
+baseline JPEG (4:2:0/4:4:4) images, PCM16 WAV audio, and MJPEG-in-MP4
+video (ISO BMFF demux + per-sample JPEG decode,
+:mod:`linref_spark.web.mp4`). Only compressed-video PAYLOAD decode
+(H.264/H.265) remains a declared stub (no media libraries in this
+container) — registering a pyav callable is a one-line swap.
 
 Operators:
 
@@ -259,10 +261,11 @@ def resize_images(
 
 def resize_stub(
     df: DataFrame, data_col: str = "media", width: int = 224, height: int = 224,
-    kind: str = "mp4",
+    kind: str = "h264",
 ) -> DataFrame:
     """Resize for codecs WITHOUT a registered (decode, encode) pair — the
-    clearly-marked stub the spec permits (video demuxing needs pyav).
+    clearly-marked stub the spec permits (H.264/H.265 payload decode
+    needs a media library; mp4 with Motion-JPEG payloads IS registered).
     Kinds with a registered pair delegate to :func:`resize_images`."""
     if kind in RESIZERS:
         return resize_images(df, data_col, width, height, kind)
@@ -272,10 +275,33 @@ def resize_stub(
     )
 
 
+def with_frame_bytes(
+    frames: DataFrame,
+    media_df: DataFrame,
+    data_col: str = "media",
+    id_cols: tuple = ("media_id",),
+    out_col: str = "frame_bytes",
+) -> DataFrame:
+    """Join :func:`sample_frames` output back to the container bytes and
+    slice each frame's exact payload JVM-side (``substring`` on binary —
+    pure expressions, no Python in the slice). For MJPEG-in-MP4 the
+    emitted ``out_col`` bytes are complete baseline JPEGs, ready for
+    ``decode_features(kind='jpeg')`` / ``resize_images(kind='jpeg')``;
+    null-range rows (unparseable containers) carry NULL frame bytes."""
+    j = frames.join(media_df.select(*id_cols, data_col), on=list(id_cols))
+    sliced = F.expr(
+        f"substring({data_col}, byte_start + 1, byte_end - byte_start)"
+    )
+    return j.withColumn(
+        out_col, F.when(F.col("byte_start").isNotNull(), sliced)
+    ).drop(data_col)
+
+
 # real pure-numpy reference codecs (linref_spark/web/codecs.py).
 # 'image' dispatches on magic bytes over BMP + PNG + JPEG; 'png'/'bmp'/
-# 'jpeg' address a single codec directly. mp4 remains a declared stub
-# (no media libs).
+# 'jpeg' address a single codec directly. 'mp4' is REAL for Motion JPEG
+# tracks (demux -> per-sample baseline JPEG, linref_spark/web/mp4.py);
+# H.264/H.265 payload decode remains the declared stub.
 DECODERS["image"] = C.image_feature
 DECODERS["bmp"] = C.bmp_feature
 DECODERS["png"] = C.png_feature
@@ -286,3 +312,8 @@ RESIZERS["image"] = (C.decode_image, C.encode_bmp24)
 RESIZERS["bmp"] = (C.decode_bmp24, C.encode_bmp24)
 RESIZERS["png"] = (C.decode_png, C.encode_png)
 RESIZERS["jpeg"] = (C.decode_jpeg, C.encode_jpeg_baseline)
+
+from linref_spark.web import mp4 as _M  # noqa: E402  (no import cycle: mp4 pulls codecs lazily)
+
+DECODERS["mp4"] = _M.mp4_mjpeg_feature
+RESIZERS["mp4"] = (_M.decode_mp4_mjpeg, _M.encode_mp4_mjpeg)

@@ -107,11 +107,12 @@ def test_sample_frames_plumbing(spark):
 
 
 def test_resize_is_explicit_stub(spark):
-    # mp4 (no registered codec — video demuxing needs pyav) stays a
-    # declared stub; jpeg/png/bmp are real and delegate to resize_images
+    # codecs without a registered pair (H.264 payloads need a media
+    # library) stay declared stubs; jpeg/png/bmp/mp4(mjpeg) are real and
+    # delegate to resize_images
     df = spark.createDataFrame([(0, b"")], ["media_id", "media"])
     with pytest.raises(NotImplementedError):
-        MM.resize_stub(df)
+        MM.resize_stub(df, kind="h264")
 
 
 def test_jpeg_codec_roundtrips():
@@ -417,6 +418,88 @@ def test_png_decode_resize_neardup_end_to_end(spark):
         for r in ANN.cosine_neardup_pairs(feats, dim=16, threshold=0.999).collect()
     }
     assert all((i, 100 + i) in pairs for i in range(6))
+
+
+def test_mjpeg_mp4_decode_resize_neardup_end_to_end(spark):
+    """REAL video path without a media library: MJPEG-in-MP4 containers
+    through sample_frames(demux='mp4') -> JVM-side frame slicing -> JPEG
+    decode -> features -> near-dup, plus whole-container resize that
+    re-emits a decodable single-frame MJPEG MP4."""
+    import numpy as np
+
+    from linref_spark.web import ann as ANN
+    from linref_spark.web import codecs as C
+    from linref_spark.web import mp4 as M
+
+    def make_video(seed_shift, n=6):
+        frames = []
+        for i in range(n):
+            base = (np.add.outer(np.arange(32) * 4, np.arange(32) * 5)
+                    + seed_shift + i) % 256
+            img = np.stack([base, base, base], 2).astype(np.uint8)
+            frames.append(C.encode_jpeg_baseline(img, quality=90))
+        return M.encode_mp4_stub(frames, codec=b"jpeg", samples_per_chunk=2)
+
+    vidA = make_video(0)
+    vidB = make_video(2)          # near-dup of A (tiny brightness shift)
+    vidC = make_video(120)        # far from both
+    df = spark.createDataFrame(
+        [(0, vidA), (1, vidB), (2, vidC), (3, b"not a video")],
+        ["media_id", "media"],
+    )
+
+    # demux -> exact frame ranges -> JVM substring slice -> each frame
+    # decodes as a standalone baseline JPEG
+    frames = MM.sample_frames(df, n_frames=3, demux="mp4")
+    sliced = MM.with_frame_bytes(frames, df)
+    feat = MM.decode_features(sliced, data_col="frame_bytes", kind="jpeg")
+    rows_ = feat.collect()
+    good = [r for r in rows_ if r.media_id < 3]
+    assert len(good) == 9 and all(r.features is not None for r in good)
+    bad = [r for r in rows_ if r.media_id == 3]
+    assert len(bad) == 1 and bad[0].features is None  # null-range row
+
+    # per-video mean frame feature -> near-dup: A~B close, C far
+    feats = {}
+    for r in good:
+        feats.setdefault(r.media_id, []).append(np.asarray(r.features))
+    mean = {k: np.mean(v, axis=0) for k, v in feats.items()}
+    dm = {k: v - v.mean() for k, v in mean.items()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(dm[0], dm[1]) > 0.99
+    assert cos(dm[0], dm[2]) < cos(dm[0], dm[1])
+
+    # whole-container decode/resize through the registry: kind='mp4' is
+    # real for MJPEG; output is a decodable single-frame MJPEG MP4
+    feats_mp4 = {r.media_id: r.features
+                 for r in MM.decode_features(df, kind="mp4").collect()}
+    assert feats_mp4[3] is None
+    assert all(feats_mp4[i] is not None for i in range(3))
+
+    rs = MM.resize_images(df.where("media_id < 3"), kind="mp4",
+                          width=8, height=8)
+    for r in rs.collect():
+        out = M.decode_mp4_mjpeg(bytes(r.media_resized))
+        assert out is not None and out.shape == (8, 8, 3)
+        tracks = M.parse_mp4_tracks(bytes(r.media_resized))
+        assert tracks[0]["codec"] == "jpeg" and tracks[0]["n_samples"] == 1
+
+    # cosine_neardup_pairs over frame features finds the A/B twin pair
+    emb = (
+        feat.where("features is not null")
+        .selectExpr("media_id * 10 + frame_idx as vec_id",
+                    "features as embedding")
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in ANN.cosine_neardup_pairs(emb, dim=16, threshold=0.999).collect()
+    }
+    # same frame index of A and B should pair up (ids 10a+i vs 10b+i)
+    matched = [(a, b) for a, b in pairs if a // 10 == 0 and b // 10 == 1]
+    assert len(matched) >= 2
 
 
 def test_mp4_demux_sample_tables():
