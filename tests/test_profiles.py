@@ -147,3 +147,99 @@ def test_custom_profile_callable(spark):
         1, 1, weight=True,
     )
     assert mat[0, 0] == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+@pytest.mark.parametrize(
+    "profile",
+    ["uniform", "triangular", "parabolic", "trapezoidal", "custom"],
+)
+def test_profile_randomized_partition_identity(spark, seed, profile):
+    """Randomized property gate (>= 100 scenarios per config, ONE job):
+    each route carries one right event randomly partitioned by contiguous
+    left pieces (with random overhang past both ends). Identities asserted
+    against closed-form numpy antiderivatives
+    (ref linref/events/profile.py:103-218):
+
+    1. per-pair: weight == F(t1) - F(t0) on the clamped normalized span;
+    2. per-right: the partition's weights sum to F(1) - F(0) == 1 exactly
+       as for the uniform profile (the length identity).
+    """
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(seed)
+
+    def np_anti(name):
+        if name == "uniform":
+            return lambda t: t
+        if name == "triangular":
+            return lambda t: np.where(t < 0.5, 2 * t * t, -2 * t * t + 4 * t - 1)
+        if name == "parabolic":
+            return lambda t: 3 * t * t - 2 * t ** 3
+        if name == "trapezoidal":
+            r, s = 0.25, 1.0 / 0.75
+
+            def f(t):
+                return np.where(
+                    t < r, s * t * t / (2 * r),
+                    np.where(t <= 1 - r, s * (t - r / 2),
+                             s * (1 - r - (1 - t) ** 2 / (2 * r))),
+                )
+            return f
+        # custom: f(t) = 2t  ->  F(t) = t^2 (integrates to 1 on [0,1])
+        return lambda t: t * t
+
+    if profile == "custom":
+        spark_profile = lambda t: t * t  # noqa: E731
+    else:
+        spark_profile = profile
+
+    t_begs, t_ends, t_groups = [], [], []
+    r_begs, r_ends, r_groups = [], [], []
+    expected = {}  # (left event order index) -> exact numpy weight
+    anti = np_anti(profile)
+    li = 0
+    for g in range(100):
+        route = f"P{g:03d}"
+        r0 = float(rng.uniform(-30, 30))
+        rlen = float(rng.uniform(0.5, 40))
+        r1 = r0 + rlen
+        r_begs.append(r0)
+        r_ends.append(r1)
+        r_groups.append(route)
+        # random partition of [r0, r1] into 1-6 contiguous pieces
+        k = int(rng.randint(1, 7))
+        cuts = np.sort(rng.uniform(0, 1, size=k - 1)) if k > 1 else np.array([])
+        ts = np.concatenate([[0.0], cuts, [1.0]])
+        # random overhang past both ends (clamped t keeps identities)
+        lead = float(rng.choice([0.0, rng.uniform(0.1, 5.0)]))
+        tail = float(rng.choice([0.0, rng.uniform(0.1, 5.0)]))
+        for j in range(k):
+            b = r0 + ts[j] * rlen - (lead if j == 0 else 0.0)
+            e = r0 + ts[j + 1] * rlen + (tail if j == k - 1 else 0.0)
+            t_begs.append(b)
+            t_ends.append(e)
+            t_groups.append(route)
+            t0, t1 = ts[j], ts[j + 1]
+            expected[li] = float(anti(np.float64(t1)) - anti(np.float64(t0)))
+            li += 1
+
+    left, llrs = make_events(spark, begs=t_begs, ends=t_ends, groups=t_groups)
+    right, rlrs = make_events(spark, begs=r_begs, ends=r_ends, groups=r_groups)
+    op = overlay_pairs(
+        left, right, llrs, rlrs, normalize=True, norm_by="right",
+        profile=spark_profile, keep_zeros=True,
+    )
+    rows = op.collect()
+    # per-pair closed-form parity
+    got = {r.left_id: r.weight for r in rows}
+    assert len(got) == len(expected)
+    for lid, w in got.items():
+        assert w == pytest.approx(expected[lid], abs=1e-9), lid
+    # per-right partition identity: sums to F(1)-F(0) = 1 = uniform total
+    sums = {}
+    for r in rows:
+        sums[r.right_id] = sums.get(r.right_id, 0.0) + r.weight
+    assert len(sums) == 100
+    for rid, s in sums.items():
+        assert s == pytest.approx(1.0, abs=1e-9), rid
