@@ -33,7 +33,7 @@ def run_level(cpus: int) -> dict:
             os.path.join(REPO, "tools", "scaling_worker.py"),
             "--cpus", str(cpus),
         ],
-        capture_output=True, text=True, cwd=REPO, timeout=2400,
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not last:
@@ -46,6 +46,10 @@ METRICS = {
     "join": "join_rows_per_sec",
     "snap": "snap_points_per_sec",
     "calib": "calib_rows_per_sec",
+    # the pages pipeline decomposed per-stage (stage inputs materialized)
+    "pages_extract": "pages_extract_docs_per_sec",
+    "pages_snap": "pages_snap_docs_per_sec",
+    "pages_rollup": "pages_rollup_docs_per_sec",
 }
 
 
@@ -114,6 +118,9 @@ an ideal 4.00x); `BENCH/scaling_{stamp}.json` has all rounds.
 | interval join | {l8['join_rows_per_sec']:,.0f} | {l32['join_rows_per_sec']:,.0f} | {l32['join_rows_per_sec']/l8['join_rows_per_sec']:.2f}x | {e['eff_join']:.3f} | **{e['eff_join_hostnorm']:.3f}** |
 | snap kernel | {l8['snap_points_per_sec']:,.0f} | {l32['snap_points_per_sec']:,.0f} | {l32['snap_points_per_sec']/l8['snap_points_per_sec']:.2f}x | {e['eff_snap']:.3f} | **{e['eff_snap_hostnorm']:.3f}** |
 | codegen calibration | {l8['calib_rows_per_sec']:,.0f} | {l32['calib_rows_per_sec']:,.0f} | {l32['calib_rows_per_sec']/l8['calib_rows_per_sec']:.2f}x | {e['eff_calib']:.3f} | **{e['eff_calib_hostnorm']:.3f}** |
+| pages leg: extract | {l8['pages_extract_docs_per_sec']:,.0f} | {l32['pages_extract_docs_per_sec']:,.0f} | {l32['pages_extract_docs_per_sec']/l8['pages_extract_docs_per_sec']:.2f}x | {e['eff_pages_extract']:.3f} | **{e['eff_pages_extract_hostnorm']:.3f}** |
+| pages leg: snap | {l8['pages_snap_docs_per_sec']:,.0f} | {l32['pages_snap_docs_per_sec']:,.0f} | {l32['pages_snap_docs_per_sec']/l8['pages_snap_docs_per_sec']:.2f}x | {e['eff_pages_snap']:.3f} | **{e['eff_pages_snap_hostnorm']:.3f}** |
+| pages leg: rollup | {l8['pages_rollup_docs_per_sec']:,.0f} | {l32['pages_rollup_docs_per_sec']:,.0f} | {l32['pages_rollup_docs_per_sec']/l8['pages_rollup_docs_per_sec']:.2f}x | {e['eff_pages_rollup']:.3f} | **{e['eff_pages_rollup_hostnorm']:.3f}** |
 
 "eff (host-normalized)" = Spark's throughput scaling divided by the CPU
 scaling the host actually granted in the same window -- the engine's own

@@ -78,6 +78,37 @@ def pages_workload(spark, rows: int, partitions: int, routes) -> int:
     return int(agg.agg(F.sum("n")).first()[0])
 
 
+def pages_staged_workload(spark, rows: int, partitions: int, routes):
+    """The pages pipeline decomposed into its three legs, each timed over
+    a materialized (localCheckpoint) input so stage costs do not bleed
+    into each other: extract (synthesize -> html->text -> geocode),
+    snap (broadcast kNN nearest-route assignment), rollup (tile agg).
+    Attributes the composite pipeline's scaling behavior per-stage."""
+    t0 = time.time()
+    pages = with_extracted_text(generate_pages(spark, rows, n_partitions=partitions))
+    geo = geocode_pages(pages, n_routes=200, route_length=100.0)
+    pts = geo.select(
+        F.xxhash64("url").alias("event_id"),
+        F.col("loc_mp").alias("x"),
+        (
+            F.substring("route_id", 2, 4).cast("double") * 5.0
+            + F.col("loc_mp") / 100.0 * 2.0
+        ).alias("y"),
+        (F.col("extracted_text") == F.col("text")).alias("_audit"),
+    ).localCheckpoint()
+    n_docs = pts.count()
+    t1 = time.time()
+    snapped = project_points_broadcast(
+        routes, pts, RLRS, buffer=5.0, res=8
+    ).localCheckpoint()
+    snapped.count()
+    t2 = time.time()
+    agg = tile_aggregate(with_point_tile(snapped, "x", "y", res=8))
+    int(agg.agg(F.sum("n")).first()[0])
+    t3 = time.time()
+    return (t1 - t0, t2 - t1, t3 - t2, n_docs)
+
+
 def make_intervals(spark, n: int, seed: int, partitions: int):
     beg = F.pmod(F.xxhash64("id", F.lit(seed)), 100000) / 100.0
     return spark.range(0, n, 1, partitions).select(
@@ -198,6 +229,14 @@ def main():
     n_pairs = n_join
     t_snap, n_snap = best_of(lambda: snap_workload(spark, args.snap_points, parts, routes))
 
+    # staged pages legs: best-of-2 per LEG (stage inputs materialized, so
+    # each leg's timing is its own)
+    staged = [pages_staged_workload(spark, args.pages, parts, routes)
+              for _ in range(2)]
+    t_ext = min(s[0] for s in staged)
+    t_psnap = min(s[1] for s in staged)
+    t_proll = min(s[2] for s in staged)
+
     host_rate = host_cpu_rate(args.cpus)
     print(
         json.dumps(
@@ -216,6 +255,12 @@ def main():
                 "snap_points": n_snap,
                 "snap_sec": round(t_snap, 3),
                 "snap_points_per_sec": round(n_snap / t_snap, 1),
+                "pages_extract_sec": round(t_ext, 3),
+                "pages_extract_docs_per_sec": round(n_docs / t_ext, 1),
+                "pages_snap_sec": round(t_psnap, 3),
+                "pages_snap_docs_per_sec": round(n_docs / t_psnap, 1),
+                "pages_rollup_sec": round(t_proll, 3),
+                "pages_rollup_docs_per_sec": round(n_docs / t_proll, 1),
             }
         )
     )
