@@ -11,10 +11,12 @@ grid tiling for spatial joins — plus the web-scale text-pipeline operators
 
 from linref_spark.lrs import LRS, EVENT_ID
 from linref_spark.frame import LinrefFrame, LinrefRelation, wrap
+from linref_spark.interop import frame_from_wkb, frame_to_wkb
 from linref_spark.options import get_default_lrs, options, set_default_lrs
 
 __all__ = [
     "LRS", "EVENT_ID", "LinrefFrame", "LinrefRelation", "wrap",
     "options", "set_default_lrs", "get_default_lrs",
+    "frame_from_wkb", "frame_to_wkb",
 ]
 __version__ = "0.1.0"

@@ -265,6 +265,24 @@ class LinrefFrame:
         out = _add_geom_m(self.df, self.lrs, xs_col, ys_col, out_col)
         return self._wrap(out, replace(self.lrs, geom_m_col=out_col))
 
+    def from_wkb(self, wkb_col: str = "wkb", **kw) -> "LinrefFrame":
+        """Parse a binary WKB LINESTRING[ M] column into ``geom_m``
+        (GEOS-free; ``interop.frame_from_wkb``). The natural ingestion
+        seam for GeoDataFrame users: ``gdf.geometry.to_wkb()`` bytes."""
+        from linref_spark.interop import frame_from_wkb
+
+        out_col = kw.get("out_col", "geom_m")
+        out = frame_from_wkb(self.df, wkb_col, **kw)
+        return self._wrap(out, replace(self.lrs, geom_m_col=out_col))
+
+    def to_wkb(self, **kw) -> "LinrefFrame":
+        """Emit ISO WKB LINESTRING M bytes from the bound ``geom_m``
+        column (``interop.frame_to_wkb``)."""
+        from linref_spark.interop import frame_to_wkb
+
+        geom = self.lrs.geom_m_col or "geom_m"
+        return self._wrap(frame_to_wkb(self.df, geom_col=geom, **kw))
+
     def project(self, points: DataFrame, **kw) -> DataFrame:
         """Snap a point table onto this frame's route geometries
         (tile-prefiltered spatial kNN; ``LRS_Accessor.project``)."""

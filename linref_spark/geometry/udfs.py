@@ -13,6 +13,7 @@ is the only place Python runs, and it runs vectorized per Arrow batch.
 
 from __future__ import annotations
 
+import struct
 from typing import Optional
 
 import numpy as np
@@ -175,13 +176,18 @@ def udf_geom_m_to_wkb(xs: pd.Series, ys: pd.Series, ms: pd.Series) -> pd.Series:
 def udf_wkb_to_geom_m(wkb: pd.Series) -> pd.DataFrame:
     """Parse WKB LINESTRING M bytes (ISO 2002 / EWKB M-flag / plain 2-D)
     into the geom_m struct — the shapely-free ingestion path closing the
-    ``parse_geoms_m_shapely`` role (``linref/ext/base.py:3381-3425``)."""
+    ``parse_geoms_m_shapely`` role (``linref/ext/base.py:3381-3425``).
+    Unparseable bytes surface as a NULL struct rather than failing the
+    task — ingestion runs over untrusted crawl bytes."""
     oxs, oys, oms = [], [], []
     for b in wkb:
         if b is None:
             oxs.append(None), oys.append(None), oms.append(None)
             continue
-        x, y, m = K.from_wkb_m(bytes(b))
+        try:
+            x, y, m = K.from_wkb_m(bytes(b))
+        except (ValueError, struct.error, IndexError):
+            x = y = m = None
         oxs.append(x), oys.append(y), oms.append(m)
     return pd.DataFrame({"xs": oxs, "ys": oys, "ms": oms})
 

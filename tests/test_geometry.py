@@ -254,3 +254,66 @@ def test_wkb_udf_roundtrip(spark):
         assert list(r["geom2"]["xs"]) == list(r["xs"])
         assert list(r["geom2"]["ys"]) == list(r["ys"])
         assert list(r["geom2"]["ms"]) == list(r["ms"])
+
+
+def test_interop_wkb_roundtrip_and_crs(spark):
+    """interop.frame_from_wkb/frame_to_wkb: pure-python WKB hop in both
+    directions, CRS carried as column metadata, 2-D WKB accepted with
+    M=0, junk bytes -> NULL struct; geopandas layer gated with a clear
+    ImportError in this container."""
+    import numpy as np
+    import pytest as _pytest
+
+    from linref_spark import interop as I
+    from linref_spark.geometry import kernels as K
+
+    xs = np.array([0.0, 3.0, 3.0]); ys = np.array([0.0, 4.0, 10.0])
+    ms = np.array([0.0, 5.0, 11.0])
+    wkb_m = K.to_wkb_m(xs, ys, ms)
+    # plain 2-D little-endian LINESTRING
+    import struct as _s
+    wkb_2d = (b"\x01" + _s.pack("<II", 2, 2)
+              + _s.pack("<4d", 1.0, 2.0, 3.0, 4.0))
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb_m)), (1, bytearray(wkb_2d)), (2, bytearray(b"junk"))],
+        "gid long, wkb binary",
+    )
+    out = I.frame_from_wkb(df, crs="EPSG:4326")
+    assert I.crs_of(out) == "EPSG:4326"
+    rows_ = {r.gid: r.geom_m for r in out.collect()}
+    assert list(rows_[0]["xs"]) == [0.0, 3.0, 3.0]
+    assert list(rows_[0]["ms"]) == [0.0, 5.0, 11.0]
+    assert list(rows_[1]["ms"]) == [0.0, 0.0]  # 2-D -> M zeros
+    assert rows_[2] is None                    # junk -> NULL
+
+    # back out: bytes re-parse to the same arrays
+    back = I.frame_to_wkb(out.where("gid = 0"))
+    b = bytes(back.first()["wkb"])
+    x2, y2, m2 = K.from_wkb_m(b)
+    assert list(x2) == list(xs) and list(m2) == list(ms)
+
+    if not I.HAS_GEOPANDAS:
+        with _pytest.raises(ImportError, match="frame_from_wkb"):
+            I.from_geopandas(spark, None)
+        with _pytest.raises(ImportError, match="geopandas"):
+            I.to_geopandas(out)
+
+
+def test_interop_facade_wkb(spark):
+    """Facade from_wkb/to_wkb: LRS picks up geom_m_col; roundtrip exact."""
+    import numpy as np
+
+    from linref_spark import wrap
+    from linref_spark.geometry import kernels as K
+
+    xs = np.array([0.0, 10.0]); ys = np.array([0.0, 0.0]); ms = np.array([0.0, 10.0])
+    df = spark.createDataFrame(
+        [("A", 0.0, 10.0, bytearray(K.to_wkb_m(xs, ys, ms)))],
+        "route string, beg double, end double, wkb binary",
+    )
+    fr = wrap(df, key_cols=("route",), beg_col="beg", end_col="end")
+    g = fr.from_wkb(drop_wkb=True)
+    assert g.lrs.geom_m_col == "geom_m"
+    back = g.to_wkb()
+    x2, _, m2 = K.from_wkb_m(bytes(back.df.first()["wkb"]))
+    assert list(x2) == [0.0, 10.0] and list(m2) == [0.0, 10.0]
