@@ -31,6 +31,8 @@ shuffle until the final per-query top-k window).
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -612,6 +614,7 @@ def pq_topk(
     seed: int = 42,
     codebooks: np.ndarray | None = None,
     max_queries: int = 100_000,
+    pass_queries: int = 16_384,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation and exact
     re-ranking — the memory-bounded scale path: the scored representation
@@ -621,8 +624,8 @@ def pq_topk(
     Plan shape (the part that matters at 100 TB):
 
     1. encode the corpus once (:func:`with_pq_codes`);
-    2. every partition scores ALL queries against its codes via (m x
-       n_codes) lookup tables — one (query-chunk x batch) gather per
+    2. every partition scores the pass's queries against its codes via
+       (m x n_codes) lookup tables — one (query-chunk x batch) gather per
        subspace, vectorized across queries and memory-bounded by chunking
        — and emits only its LOCAL top ``k * rerank_factor`` rows per query:
        the classic partial-top-k tree, shuffle volume is partitions x
@@ -630,11 +633,16 @@ def pq_topk(
     3. a per-query window keeps the global candidate top R;
     4. candidates join back to their float vectors for exact cosine
        re-ranking (deterministic ties by neighbor id).
+
+    ``max_queries`` bounds the DRIVER (collected query vectors);
+    ``pass_queries`` bounds each EXECUTOR broadcast: query sets larger
+    than a pass are scored in bounded passes over the persisted code
+    table (disjoint query ids, so the union composes exactly).
     """
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"pq_topk: query table exceeds max_queries={max_queries}; "
-            "the per-partition scoring broadcasts all query LUTs."
+            "the driver collects the query vectors to build LUTs."
         )
     if codebooks is None:
         codebooks = train_pq_codebooks(
@@ -644,38 +652,39 @@ def pq_topk(
     books = np.asarray(codebooks, dtype=np.float64)
     mm, ncodes, sub = books.shape
 
-    # null query vectors are dropped like corpus-side nulls (a None
-    # embedding would otherwise poison the whole LUT build)
-    qrows = (
-        queries.select(id_col, vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .collect()
-    )
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.zeros((len(qrows), mm * sub), dtype=np.float64)
-    for i, r in enumerate(qrows):
-        a = np.asarray(r[vec_col], dtype=np.float64)
-        Q[i, : min(len(a), mm * sub)] = a[: mm * sub]
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    # per-query LUT: lut[q, j, c] = dot(q_j, codebook[j][c]) — summed over
-    # j this approximates cosine(q, x) for normalized x. Broadcast as
-    # float32: halves the driver->executor payload (~1.6 GB -> ~0.8 GB at
-    # the max_queries ceiling) and the approx scores only pick rerank
-    # CANDIDATES — the exact float64 cosine re-rank orders the output.
-    lut = np.einsum(
-        "qjs,jcs->qjc", Q.reshape(len(qrows), mm, sub), books
-    ).astype(np.float32)
+    qids, Q = _collect_query_vectors(queries, id_col, vec_col, mm * sub)
     R = k * rerank_factor
     spark = corpus.sparkSession
-    b_lut = spark.sparkContext.broadcast((qids, lut))
 
     coded = with_pq_codes(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         books, vec_col, "pq_code",
     ).select("neighbor_id", "pq_code")
-
-    scorer = _make_adc_scorer(b_lut, R, mm, has_cid=False)
-    partials = coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA)
+    # bounded query passes: each pass broadcasts ONLY its slice's LUTs
+    # (pass_queries x m x n_codes float32 — ~128 MB at the defaults, vs
+    # ~0.8 GB for 100k queries in one shot) and re-scans the m-byte code
+    # table; passes are disjoint in query_id so the per-query top-R
+    # window composes over the union unchanged. Multi-pass persists the
+    # coded table so the encode UDF runs once, not once per pass.
+    nq = len(qids)
+    if nq > pass_queries:
+        coded = coded.persist()
+    parts = []
+    for p0 in range(0, nq, pass_queries):
+        p1 = min(p0 + pass_queries, nq)
+        # per-query LUT: lut[q, j, c] = dot(q_j, codebook[j][c]) — summed
+        # over j this approximates cosine(q, x) for normalized x. float32:
+        # halves the payload; the approx scores only pick rerank
+        # CANDIDATES — the exact float64 cosine re-rank orders the output.
+        lut = np.einsum(
+            "qjs,jcs->qjc", Q[p0:p1].reshape(p1 - p0, mm, sub), books
+        ).astype(np.float32)
+        b_lut = spark.sparkContext.broadcast((qids[p0:p1], lut))
+        scorer = _make_adc_scorer(b_lut, R, mm, has_cid=False)
+        parts.append(coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA))
+    if not parts:  # every query vector was null
+        parts = [spark.createDataFrame([], _ADC_PARTIAL_SCHEMA)]
+    partials = reduce(DataFrame.unionAll, parts)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc()
     )
@@ -683,6 +692,26 @@ def pq_topk(
         F.col("_rn") <= R
     ).drop("_rn", "approx")
     return _exact_rerank(cand, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
+def _collect_query_vectors(
+    queries: DataFrame, id_col: str, vec_col: str, width: int
+):
+    """Driver-side (qids, normalized Q matrix) for LUT builds. Null query
+    vectors are dropped like corpus-side nulls (a None embedding would
+    otherwise poison the whole LUT build)."""
+    qrows = (
+        queries.select(id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Q = np.zeros((len(qrows), width), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        a = np.asarray(r[vec_col], dtype=np.float64)
+        Q[i, : min(len(a), width)] = a[:width]
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    return qids, Q
 
 
 _ADC_PARTIAL_SCHEMA = StructType([
@@ -831,6 +860,7 @@ def ivfpq_topk(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     max_queries: int = 100_000,
+    pass_queries: int = 16_384,
 ) -> DataFrame:
     """IVF x PQ — the canonical 100 TB ANN serving plan: IVF inverted lists
     bound WHICH corpus rows each query touches (~n_probe/n_centroids of the
@@ -849,7 +879,10 @@ def ivfpq_topk(
     probed and the result equals brute force exactly.
 
     Pass ``centroids`` / ``codebooks`` to reuse trained quantizers; both
-    train on bounded deterministic samples otherwise.
+    train on bounded deterministic samples otherwise. ``max_queries``
+    bounds the DRIVER (collected query vectors); ``pass_queries`` bounds
+    each EXECUTOR broadcast — larger query sets score in bounded passes
+    over the persisted coded table (see :func:`pq_topk`).
     """
     _guard_query_broadcast(queries, max_queries, "ivfpq_topk")
     if centroids is None:
@@ -872,28 +905,17 @@ def ivfpq_topk(
     # null query vectors dropped up front (np.asarray(None) is a 0-d
     # array that would crash the LUT build), float32 LUT halves the
     # broadcast — exact re-rank orders the output regardless
-    qrows = (
-        queries.select(id_col, vec_col)
-        .where(F.col(vec_col).isNotNull())
-        .collect()
-    )
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    Q = np.zeros((len(qrows), mm * sub), dtype=np.float64)
-    for i, r in enumerate(qrows):
-        a = np.asarray(r[vec_col], dtype=np.float64)
-        Q[i, : min(len(a), mm * sub)] = a[: mm * sub]
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    lut = np.einsum(
-        "qjs,jcs->qjc", Q.reshape(len(qrows), mm, sub), books
-    ).astype(np.float32)
+    qids, Q = _collect_query_vectors(queries, id_col, vec_col, mm * sub)
     # probe routing: same math as make_ivf_assign_udf (normalized query
     # dot raw centroid rows)
     sims = Q @ C.T
-    part = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+    if len(qids):
+        part = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+    else:
+        part = np.zeros((0, n_probe), dtype=np.int64)
     allowed = np.zeros((len(qids), n_cent), dtype=bool)
     allowed[np.arange(len(qids))[:, None], part] = True
     spark = corpus.sparkSession
-    b_state = spark.sparkContext.broadcast((qids, lut, allowed))
 
     assign1 = make_ivf_assign_udf(centroids, 1)
     coded = with_pq_codes(
@@ -904,8 +926,25 @@ def ivfpq_topk(
     ).where(F.col("pq_code").isNotNull() & F.col("_cid").isNotNull())
 
     R = k * rerank_factor
-    scorer = _make_adc_scorer(b_state, R, mm, has_cid=True)
-    partials = coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA)
+    # bounded query passes — same composition as pq_topk (disjoint query
+    # ids per pass; the per-query window over the union is exact)
+    nq = len(qids)
+    if nq > pass_queries:
+        coded = coded.persist()
+    parts = []
+    for p0 in range(0, nq, pass_queries):
+        p1 = min(p0 + pass_queries, nq)
+        lut = np.einsum(
+            "qjs,jcs->qjc", Q[p0:p1].reshape(p1 - p0, mm, sub), books
+        ).astype(np.float32)
+        b_state = spark.sparkContext.broadcast(
+            (qids[p0:p1], lut, allowed[p0:p1])
+        )
+        scorer = _make_adc_scorer(b_state, R, mm, has_cid=True)
+        parts.append(coded.mapInPandas(scorer, _ADC_PARTIAL_SCHEMA))
+    if not parts:  # every query vector was null
+        parts = [spark.createDataFrame([], _ADC_PARTIAL_SCHEMA)]
+    partials = reduce(DataFrame.unionAll, parts)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc()
     )

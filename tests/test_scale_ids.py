@@ -355,12 +355,17 @@ def test_ordinal_storage_reclaimed(spark):
     run_iterations(2)
     baseline = settle(0, seconds=60)
 
-    run_iterations(6)
+    run_iterations(8)
 
-    # ContextCleaner runs asynchronously — under a loaded host (full-suite
-    # runs) reclamation can take minutes, so the window is generous.
-    settled = settle(baseline + 4, seconds=240)
-    assert settled <= baseline + 4, (baseline, settled)
+    # ContextCleaner runs asynchronously and System.gc() is only a hint:
+    # measured on this host, the same build settles to 0 in ~30 s on one
+    # run and retains ~5 recent-execution blocks past 240 s on another
+    # (A/B'd across commits — the retention does not track code changes).
+    # Allow half the true-leak signal as noise margin: the round-2
+    # .persist() pins ~2 entries per iteration forever (+16 here), so
+    # a +8 allowance still fails a real leak on every run.
+    settled = settle(baseline + 8, seconds=240)
+    assert settled <= baseline + 8, (baseline, settled)
 
 
 def test_consecutive_strings_rejects_hashed_ids(spark):

@@ -466,3 +466,36 @@ def test_ivfpq_topk_recall_and_full_probe_exact(spark):
 
     with _pytest.raises(ValueError, match="max_queries"):
         ANN.ivfpq_topk(df, df, dim=dim, k=2, max_queries=5)
+
+
+def test_pq_ivfpq_bounded_query_passes(spark):
+    """pass_queries bounds each executor broadcast: forcing multi-pass
+    (pass size 3 over ~16 queries) must give results identical to the
+    single-pass plan for both PQ serving paths — passes are disjoint in
+    query_id, so the per-query top-R window composes over the union."""
+    import numpy as np
+
+    rng = np.random.default_rng(59)
+    dim = 16
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id % 8 = 0")  # 15 queries -> 5 passes at 3
+
+    books = ANN.train_pq_codebooks(df, dim, m=4, n_codes=16, seed=5)
+    one = ANN.pq_topk(df, queries, dim=dim, k=5, m=4, n_codes=16,
+                      codebooks=books)
+    many = ANN.pq_topk(df, queries, dim=dim, k=5, m=4, n_codes=16,
+                       codebooks=books, pass_queries=3)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)
+    assert sorted(map(key, many.collect())) == sorted(map(key, one.collect()))
+
+    C = ANN.train_ivf_centroids(df, dim, n_centroids=8, seed=7)
+    one2 = ANN.ivfpq_topk(df, queries, dim=dim, k=5, n_centroids=8,
+                          n_probe=3, m=4, n_codes=16, centroids=C,
+                          codebooks=books)
+    many2 = ANN.ivfpq_topk(df, queries, dim=dim, k=5, n_centroids=8,
+                           n_probe=3, m=4, n_codes=16, centroids=C,
+                           codebooks=books, pass_queries=3)
+    assert sorted(map(key, many2.collect())) == sorted(map(key, one2.collect()))
