@@ -194,12 +194,17 @@ def udf_wkb_to_geom_m(wkb: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(GEOM_M_TYPE)
 def udf_wkt_to_geom_m(wkt: pd.Series) -> pd.DataFrame:
+    """Unparseable text surfaces as a NULL struct (same untrusted-input
+    contract as :func:`udf_wkb_to_geom_m`)."""
     oxs, oys, oms = [], [], []
     for w in wkt:
         if w is None:
             oxs.append(None), oys.append(None), oms.append(None)
             continue
-        x, y, m = K.from_wkt_m(w)
+        try:
+            x, y, m = K.from_wkt_m(w)
+        except (ValueError, IndexError):
+            x = y = m = None
         oxs.append(x), oys.append(y), oms.append(m)
     return pd.DataFrame({"xs": oxs, "ys": oys, "ms": oms})
 

@@ -317,3 +317,63 @@ def test_interop_facade_wkb(spark):
     back = g.to_wkb()
     x2, _, m2 = K.from_wkb_m(bytes(back.df.first()["wkb"]))
     assert list(x2) == [0.0, 10.0] and list(m2) == [0.0, 10.0]
+
+
+def test_wkb_wkt_ingestion_fuzz(spark):
+    """Byte-flip fuzz over the codec ingestion paths (same untrusted-input
+    gate as the media parsers): every corruption either parses or raises
+    only the exception types the UDFs convert to NULL — then the UDF path
+    itself yields parsed-or-NULL for a corrupted batch, never a task
+    failure."""
+    import struct as _s
+
+    import numpy as np
+
+    from linref_spark.geometry import kernels as K
+    from linref_spark.geometry.udfs import udf_wkb_to_geom_m, udf_wkt_to_geom_m
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    xs = np.array([0.0, 3.0, 7.5]); ys = np.array([1.0, 4.0, 2.0])
+    ms = np.array([0.0, 5.0, 11.0])
+    good = K.to_wkb_m(xs, ys, ms)
+
+    caught = (ValueError, _s.error, IndexError)  # the UDF's except set
+    for pos in range(len(good)):
+        for flip in (0x01, 0x80, 0xFF):
+            b = bytearray(good)
+            b[pos] ^= flip
+            try:
+                K.from_wkb_m(bytes(b))
+            except caught:
+                pass  # -> NULL in the UDF; anything else fails the test
+
+    # declared-size attack: header claims 2^31 points with 24 bytes of body
+    huge = b"\x01" + _s.pack("<II", 0x800007D2, 0x80000000) + b"\x00" * 24
+    try:
+        K.from_wkb_m(huge)
+        raise AssertionError("expected truncation error")
+    except caught:
+        pass
+
+    wkt_junk = ["LINESTRING M (1 2", "LINESTRING M (1 2 3, 4 5)", "(((", "x"]
+    for w in wkt_junk:
+        try:
+            K.from_wkt_m(w)
+        except caught:
+            pass
+
+    rows = [(0, bytearray(good), "LINESTRING M (0 1 0, 3 4 5)")]
+    for i in range(1, 24):
+        b = bytearray(good)
+        b[int(rng.integers(len(good)))] ^= int(rng.integers(1, 256))
+        rows.append((i, b, wkt_junk[i % len(wkt_junk)]))
+    df = spark.createDataFrame(rows, "gid long, wkb binary, wkt string")
+    out = df.select(
+        "gid",
+        udf_wkb_to_geom_m(F.col("wkb")).alias("g1"),
+        udf_wkt_to_geom_m(F.col("wkt")).alias("g2"),
+    ).collect()  # must not raise
+    byg = {r.gid: r for r in out}
+    assert list(byg[0].g1["ms"]) == [0.0, 5.0, 11.0]
+    assert list(byg[0].g2["ms"]) == [0.0, 5.0]
