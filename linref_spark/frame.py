@@ -33,6 +33,7 @@ from linref_spark.events.integrate import integrate as _integrate
 from linref_spark.relate import agg as _agg
 from linref_spark.relate.distribute import distribute as _distribute
 from linref_spark.relate.join import (
+    AUTO,
     EQUI,
     JoinStrategy,
     equal_groups_pairs,
@@ -412,12 +413,19 @@ class LinrefFrame:
         self,
         other: "LinrefFrame",
         how: str = "intersect",
-        strategy: JoinStrategy = EQUI,
+        strategy: JoinStrategy = AUTO,
         **kw,
     ) -> "LinrefRelation":
         """Build the pair relation against ``other`` and return the chained
         aggregator handle (the reference's ``EventsRelation``,
-        ``relate.py:600-706``). ``how``: intersect | overlay | equal_groups."""
+        ``relate.py:600-706``). ``how``: intersect | overlay | equal_groups.
+
+        Defaults to ``JoinStrategy("auto")`` — the facade caller is
+        exactly the default-arguments user, and one input-stats job per
+        ``.relate()`` is noise next to the join it protects. The module
+        primitives (``intersect_pairs``/``overlay_pairs``) keep explicit
+        strategies so repeated joins over the same inputs can amortize
+        one decision."""
         if how == "intersect":
             pairs = intersect_pairs(
                 self.df, other.df, self.lrs, other.lrs, strategy=strategy, **kw

@@ -463,6 +463,13 @@ def equal_groups_pairs(
     left: DataFrame, right: DataFrame, llrs: LRS, rlrs: LRS,
     strategy: JoinStrategy = EQUI,
 ) -> DataFrame:
-    """Plain route-equi pair table (``relate.py:2090-2110``)."""
+    """Plain route-equi pair table (``relate.py:2090-2110``).
+
+    The pairing predicate is group equality ALONE — measure-axis binning
+    would silently drop same-group pairs whose intervals never share a
+    bin — so binned/auto strategies are coerced to equi here (the
+    broadcast flag is honored)."""
+    if strategy.kind != "equi":
+        strategy = JoinStrategy("equi", broadcast=strategy.broadcast)
     cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=False)
     return cand.select(F.col("l_id").alias(LEFT_ID), F.col("r_id").alias(RIGHT_ID))

@@ -388,3 +388,42 @@ def test_value_counts_pivot(spark, agg_fixture):
     assert rows[1]["10.0"] == 1 and rows[1]["20.0"] == 1 and rows[1]["30.0"] == 0
     assert rows[0]["10.0"] == 1 and rows[0]["20.0"] == 0
     assert rows[2]["30.0"] == 1
+
+
+def test_equal_groups_coerces_binned_to_equi(spark):
+    """equal_groups pairs on group equality ALONE: a binned (or auto->
+    binned) strategy would drop same-group pairs whose intervals never
+    share a bin — equal_groups_pairs must coerce any strategy to equi and
+    return every same-group pair regardless of measures."""
+    from linref_spark.relate.join import AUTO, equal_groups_pairs
+
+    left, llrs = make_events(
+        spark,
+        begs=[0, 1000, 0], ends=[1, 1001, 1],  # far-apart intervals
+        groups=[1, 1, 2], closed="left",
+    )
+    n_equi = equal_groups_pairs(left, left, llrs, llrs, strategy=EQUI).count()
+    n_binned = equal_groups_pairs(left, left, llrs, llrs, strategy=BINNED).count()
+    n_auto = equal_groups_pairs(left, left, llrs, llrs, strategy=AUTO).count()
+    # group 1 has 2 rows -> 4 pairs; group 2 -> 1 pair
+    assert n_equi == 5 and n_binned == 5 and n_auto == 5
+
+
+def test_facade_relate_defaults_to_auto(spark):
+    """The facade .relate() default is JoinStrategy('auto'): results must
+    match the explicit-equi primitive on every `how`."""
+    from linref_spark import wrap
+
+    df = spark.createDataFrame(
+        [("A", 0.0, 10.0, 1.0), ("A", 5.0, 15.0, 2.0), ("B", 0.0, 4.0, 3.0)],
+        "route string, beg double, end double, val double",
+    )
+    fr = wrap(df, key_cols=("route",), beg_col="beg", end_col="end")
+    other = wrap(df, key_cols=("route",), beg_col="beg", end_col="end")
+    got = fr.relate(other).count(out_col="n").df.orderBy("route", "beg")
+    exp = fr.relate(other, strategy=EQUI).count(out_col="n").df.orderBy(
+        "route", "beg"
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    n_eq = fr.relate(other, how="equal_groups").pairs.count()
+    assert n_eq == 5  # 2x2 same-group pairs on A + 1 on B
