@@ -425,7 +425,13 @@ class LinrefFrame:
         ``.relate()`` is noise next to the join it protects. The module
         primitives (``intersect_pairs``/``overlay_pairs``) keep explicit
         strategies so repeated joins over the same inputs can amortize
-        one decision."""
+        one decision.
+
+        NOTE: the stats probe is an extra action over the inputs' NARROW
+        projections (keys + measures; Catalyst prunes the rest), so it
+        re-executes that slice of upstream lineage. When this frame is
+        the tail of an expensive unpersisted chain, either persist the
+        frame first or pass an explicit ``EQUI``/binned strategy."""
         if how == "intersect":
             pairs = intersect_pairs(
                 self.df, other.df, self.lrs, other.lrs, strategy=strategy, **kw
