@@ -117,3 +117,64 @@ def test_pipeline_iceberg_format_flag_is_config_swap(spark, tmp_path):
             p.run(spark, log=None)
     else:  # pragma: no cover
         assert p.run(spark, log=None)["a"].count() == 3
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed by route with matching specs must relate-join
+    with ZERO Exchange nodes (the 100 TB co-location story); bucket_spec
+    reads the saved spec back so partners can be written to match.
+    Buckets are written AFTER add_event_id — id minting materializes via
+    localCheckpoint, which erases partitioning info, so mint-then-bucket
+    is the order that keeps the elision."""
+    from linref_spark.events.frame import add_event_id
+    from linref_spark.lrs import LRS
+    from linref_spark.pipeline.bucketed import (
+        bucket_spec,
+        load_bucketed,
+        save_bucketed,
+    )
+    from linref_spark.relate.join import EQUI, JoinStrategy, intersect_pairs
+
+    lrs = LRS(key_cols=("route",), beg_col="beg", end_col="end")
+    rows = [
+        (f"R{r}", float(b), float(b + 3)) for r in range(6) for b in range(0, 30, 2)
+    ]
+    df = spark.createDataFrame(rows, "route string, beg double, end double")
+    left = add_event_id(df, lrs)
+    right = add_event_id(df, lrs)
+    save_bucketed(left, "bk_left", ["route"], n_buckets=4,
+                  path=str(tmp_path / "bk_left"))
+    spec = bucket_spec(spark, "bk_left")
+    assert spec == (("route",), 4)
+    save_bucketed(right, "bk_right", [spec[0][0]], n_buckets=spec[1],
+                  path=str(tmp_path / "bk_right"))
+
+    lb, rb = load_bucketed(spark, "bk_left"), load_bucketed(spark, "bk_right")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = intersect_pairs(lb, rb, lrs, lrs, strategy=EQUI)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the join is still CORRECT: same pair count as the plain path
+        expected = intersect_pairs(left, right, lrs, lrs, strategy=EQUI).count()
+        assert pairs.count() == expected and expected > 0
+
+        # binned keys are (route, bin) — a SUPERSET of the bucket cols;
+        # with requireAllClusterKeysForCoPartition relaxed the route
+        # clustering satisfies them and the binned join is also
+        # exchange-free, with identical pairs
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false"
+        )
+        binned = intersect_pairs(
+            lb, rb, lrs, lrs, strategy=JoinStrategy("binned", bin_size=5.0)
+        )
+        plan2 = binned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan2, plan2
+        assert binned.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
