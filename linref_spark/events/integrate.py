@@ -156,14 +156,20 @@ def integrate(
             ).drop(LEFT_ID)
             out = out.withColumn(idx_col, F.coalesce(F.col(idx_col), F.lit(-1)))
         else:
-            matches = pairs.groupBy(LEFT_ID).agg(
-                F.sort_array(F.collect_list(RIGHT_ID)).alias("_m")
+            # expand = one output row per (interval, match) — a direct left
+            # join IS that cross-product (row multiset identical to the old
+            # collect_list + explode round-trip, which paid an extra
+            # ObjectHashAggregate + Exchange per layer to build arrays it
+            # immediately exploded). Unmatched intervals keep one row, -1.
+            matches = pairs.select(
+                F.col(LEFT_ID), F.col(RIGHT_ID).alias(idx_col)
             )
             out = out.join(
                 matches, on=F.col(EVENT_ID) == F.col(LEFT_ID), how="left"
             ).drop(LEFT_ID)
-            arr = F.coalesce(F.col("_m"), F.array(F.lit(-1).cast("long")))
-            out = out.withColumn(idx_col, F.explode(arr)).drop("_m")
+            out = out.withColumn(
+                idx_col, F.coalesce(F.col(idx_col), F.lit(-1).cast("long"))
+            )
 
     any_match = None
     for i, (df, lrs) in enumerate(frames):

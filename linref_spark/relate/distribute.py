@@ -110,10 +110,14 @@ def _assert_pos_contiguous(tnarrow: DataFrame, n_keys: int):
         F.min("_pos").alias("_mn"),
         F.max("_pos").alias("_mx"),
         F.count(F.lit(1)).alias("_n"),
+        # span==count alone passes when a duplicate id cancels a gap
+        # (e.g. [0,1,1,3]) — distinctness closes that hole in the same job
+        F.countDistinct(F.col("_pos")).alias("_nd"),
     )
     if n_keys:
         bad = stats.where(
-            F.col("_mx") - F.col("_mn") + F.lit(1) != F.col("_n")
+            (F.col("_mx") - F.col("_mn") + F.lit(1) != F.col("_n"))
+            | (F.col("_nd") != F.col("_n"))
         ).first()
         if bad is not None:
             raise ValueError(
@@ -129,7 +133,7 @@ def _assert_pos_contiguous(tnarrow: DataFrame, n_keys: int):
     row = stats.first()
     if row is None or row["_n"] == 0:
         return (0, 0)
-    if row["_mx"] - row["_mn"] + 1 != row["_n"]:
+    if row["_mx"] - row["_mn"] + 1 != row["_n"] or row["_nd"] != row["_n"]:
         raise ValueError(
             "distribute: target event ids are not contiguous (ids span "
             f"[{row['_mn']}, {row['_mx']}] over {row['_n']} rows). "
@@ -294,16 +298,19 @@ def distribute(
     # per-source totals: tot_j = sum over matches of w * S(q)
     # (relate.py:1501-1512). S(q) sums dw*len over the positions the match
     # would spread to — identical to summing the exploded contributions.
-    tot = (
-        p.join(s_q, on="_q")
-        .groupBy("_j")
-        .agg(F.sum(F.col("_w") * F.col("_S")).alias("_tot"))
-    )
+    # Computed as a partition window over the SAME joined table, so the
+    # match-pairs subtree executes ONCE: the previous groupBy-then-rejoin
+    # form re-ran the entire upstream pairs join a second time for the
+    # rejoin (two identical BroadcastHashJoin subtrees in the plan).
+    ps = p.join(s_q, on="_q")
+    tot_w = Window.partitionBy("_j")
+    pj = ps.withColumn(
+        "_tot", F.sum(F.col("_w") * F.col("_S")).over(tot_w)
+    ).drop("_S")
 
     # per-position normalized source mass: A(q) = sum_j w * v_j / tot_j
     # (tot == 0 implies every contribution is zero — dividing by 1 keeps
     # the reference's leave-unnormalized fallback exactly)
-    pj = p.join(tot, on="_j")
     if value_col is not None:
         vals = source.select(
             F.col(EVENT_ID).alias("_j3"), F.col(value_col).cast("double").alias("_v")

@@ -113,7 +113,13 @@ def project_points_tiled(
         # groups within each batch)
         cand = cand.repartition(F.col("_route_eid")).sortWithinPartitions("_route_eid")
     g = F.col(geom_col)
-    snap = udf_snap_by_geom(
+    # asNondeterministic (guide on duplicated UDF evaluation): the
+    # dist<=buffer filter below references the UDF's output column, and the
+    # optimizer otherwise pushes a copy of the filter BELOW the projection,
+    # evaluating the snap kernel twice per candidate row (two
+    # ArrowEvalPython nodes in the plan). The function is pure; the flag
+    # only forbids the optimizer from duplicating/reordering it.
+    snap = udf_snap_by_geom.asNondeterministic()(
         F.col("_route_eid"), g["xs"], g["ys"], g["ms"], F.col(x_col), F.col(y_col)
     )
     cand = cand.withColumn("_snap", snap)
@@ -274,8 +280,14 @@ def clip_points(
         & (F.col(y_col) >= miny)
         & (F.col(y_col) <= maxy)
     )
+    # asNondeterministic: the keep-filter references this UDF-derived
+    # column; without the flag the optimizer duplicates the ray-cast UDF
+    # below the pushed filter (same pattern as the snap UDFs above)
     inside = F.when(
-        bbox, udf_point_in_polygon(F.col(x_col), F.col(y_col), px, py)
+        bbox,
+        udf_point_in_polygon.asNondeterministic()(
+            F.col(x_col), F.col(y_col), px, py
+        ),
     ).otherwise(F.lit(False))
     marked = points.withColumn("_inside", inside)
     cond = F.col("_inside") if keep == "inside" else ~F.col("_inside")
@@ -372,7 +384,14 @@ def project_points_broadcast(
     )
     pt = with_point_tile(points, x_col, y_col, res=res)
     cand = pt.join(F.broadcast(rt), on="tile_id", how="inner").drop("tile_id")
-    snap = udf_snap_bc(F.col("_route_eid"), F.col(x_col), F.col(y_col))
+    # asNondeterministic: without it the dist<=buffer filter below is pushed
+    # beneath the projection as a COPY, and every candidate row pays the
+    # snap kernel twice (two ArrowEvalPython nodes). Pure function; the
+    # flag only stops the optimizer duplicating it. Measured ~1.4x on the
+    # pages_pipeline snap leg.
+    snap = udf_snap_bc.asNondeterministic()(
+        F.col("_route_eid"), F.col(x_col), F.col(y_col)
+    )
     cand = (
         cand.withColumn("_snap", snap)
         .withColumn(dist_col, F.col("_snap.dist"))

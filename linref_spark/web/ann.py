@@ -67,6 +67,24 @@ def cosine(a: Column, b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _cast_double(a: Column) -> Column:
+    return F.transform(a, lambda v: v.cast("double"))
+
+
+def _cosine_pre(av: Column, an: Column, bv: Column, bn: Column) -> Column:
+    """cosine() over PRE-cast double vectors with PRE-computed norms.
+
+    Bit-identical to ``cosine(cast(a), cast(b))`` — same expressions over
+    the same doubles — but the norms (two full array folds per pair) are
+    hoisted to one fold per ROW before the join instead of per PAIR after
+    it. On a corpus x queries join that is the difference between
+    O(rows + pairs) and O(3 * pairs) array traversals.
+    """
+    return F.when(
+        (an > 0) & (bn > 0), _dot(av, bv) / (an * bn)
+    ).otherwise(F.lit(0.0))
+
+
 def _guard_query_broadcast(queries: DataFrame, max_queries: int, caller: str) -> None:
     """Refuse to broadcast an oversized query table (bounded ``limit(n+1)``
     count, mirroring ``project_points_broadcast``'s max_routes guard —
@@ -100,16 +118,17 @@ def cosine_topk(
     """
     _guard_query_broadcast(queries, max_queries, "cosine_topk")
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        F.col(id_col).alias(query_id_col),
+        _cast_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _cast_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
     scored = c.join(F.broadcast(q)).where(F.col("neighbor_id") != F.col(query_id_col))
     scored = scored.withColumn(
         "cos",
-        cosine(
-            F.transform(F.col("_qv"), lambda v: v.cast("double")),
-            F.transform(F.col("_cv"), lambda v: v.cast("double")),
-        ),
+        _cosine_pre(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -243,30 +262,38 @@ def lsh_topk(
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     rows = n_planes // bands
+    # cast + norm hoisted per ROW (see _cosine_pre); the bands UDF sees the
+    # double-cast vector — float->double is exact, so bucket bits are
+    # unchanged
     cb = with_lsh_bands(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        ),
+            F.col(id_col).alias("neighbor_id"),
+            _cast_double(F.col(vec_col)).alias("_cv"),
+        ).withColumn("_cn", _norm(F.col("_cv"))),
         dim, bands, rows, "_cv", seed,
     )
     qb = with_lsh_bands(
         queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
-        ),
+            F.col(id_col).alias(query_id_col),
+            _cast_double(F.col(vec_col)).alias("_qv"),
+        ).withColumn("_qn", _norm(F.col("_qv"))),
         dim, bands, rows, "_qv", seed,
     )
     cand = (
         cb.join(F.broadcast(qb), on=["lsh_band", "lsh_bucket"])
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        # a pair can collide in several bands — score it once
+        # score BEFORE the multi-band dedup: duplicate collisions recompute
+        # an identical dot (bands is small, collision multiplicity ~1), and
+        # in exchange the dedup exchange ships (ids, cos) scalars instead
+        # of both embedding vectors
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")),
+        )
+        .select(query_id_col, "neighbor_id", "cos")
+        # a pair can collide in several bands — keep it once (every
+        # duplicate carries the same cos, so which row survives is moot)
         .dropDuplicates([query_id_col, "neighbor_id"])
-    )
-    cand = cand.withColumn(
-        "cos",
-        cosine(
-            F.transform(F.col("_qv"), lambda v: v.cast("double")),
-            F.transform(F.col("_cv"), lambda v: v.cast("double")),
-        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -299,33 +326,44 @@ def cosine_neardup_pairs(
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     rows = n_planes // bands
-    b = with_lsh_bands(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        dim, bands, rows, "_v", seed,
+    from linref_spark.events.frame import materialize
+
+    # cast + norm hoisted per row; the banded table feeds THREE consumers
+    # (sizes and both self-join sides) whose subtrees canonicalize
+    # differently — pin it so the Arrow matmul runs once per input row
+    b = materialize(
+        with_lsh_bands(
+            df.select(
+                F.col(id_col).alias("_id"),
+                _cast_double(F.col(vec_col)).alias("_v"),
+            ).withColumn("_vn", _norm(F.col("_v"))),
+            dim, bands, rows, "_v", seed,
+        )
     )
     sizes = b.groupBy("lsh_band", "lsh_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = b.join(F.broadcast(ok), on=["lsh_band", "lsh_bucket"], how="inner")
     pairs = (
         pruned.select(
-            "lsh_band", "lsh_bucket", F.col("_id").alias("a"), F.col("_v").alias("_va")
+            "lsh_band", "lsh_bucket", F.col("_id").alias("a"),
+            F.col("_v").alias("_va"), F.col("_vn").alias("_na"),
         )
         .join(
             pruned.select(
                 "lsh_band", "lsh_bucket", F.col("_id").alias("b"),
-                F.col("_v").alias("_vb"),
+                F.col("_v").alias("_vb"), F.col("_vn").alias("_nb"),
             ),
             on=["lsh_band", "lsh_bucket"],
         )
         .where(F.col("a") < F.col("b"))
+        # score before the multi-band dedup (identical cos on every
+        # duplicate) so the dedup exchange ships scalars, not two vectors
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")),
+        )
+        .select("a", "b", "cos")
         .dropDuplicates(["a", "b"])
-    )
-    pairs = pairs.withColumn(
-        "cos",
-        cosine(
-            F.transform(F.col("_va"), lambda v: v.cast("double")),
-            F.transform(F.col("_vb"), lambda v: v.cast("double")),
-        ),
     )
     return pairs.where(F.col("cos") >= threshold).select("a", "b", "cos")
 
@@ -477,13 +515,20 @@ def ivf_topk(
         )
     assign1 = make_ivf_assign_udf(centroids, 1)
     assignp = make_ivf_assign_udf(centroids, n_probe)
+    # cast + norm hoisted per row (see _cosine_pre); the assign UDF sees
+    # the double-cast vector — float->double is exact, same centroid
     cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_cid", F.element_at(assign1(F.col("_cv")), 1))
+        F.col(id_col).alias("neighbor_id"),
+        _cast_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv"))).withColumn(
+        "_cid", F.element_at(assign1(F.col("_cv")), 1)
+    )
     qb = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv")
-    ).select(
-        query_id_col, "_qv", F.explode(assignp(F.col("_qv"))).alias("_cid")
+        F.col(id_col).alias(query_id_col),
+        _cast_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv"))).select(
+        query_id_col, "_qv", "_qn",
+        F.explode(assignp(F.col("_qv"))).alias("_cid"),
     )
     # unlike the brute/LSH top-k, a big query set is SUPPORTED here: fall
     # back to a plain shuffle equi-join on centroid id when the query table
@@ -494,10 +539,7 @@ def ivf_topk(
     )
     cand = cand.withColumn(
         "cos",
-        cosine(
-            F.transform(F.col("_qv"), lambda v: v.cast("double")),
-            F.transform(F.col("_cv"), lambda v: v.cast("double")),
-        ),
+        _cosine_pre(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

@@ -240,8 +240,17 @@ def minhash_lsh_pairs(
     bucket self-join from going quadratic on degenerate content. Audit the
     recall cost with :func:`minhash_drop_metrics` (same parameters).
     """
-    buckets = _minhash_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_k, hash_name
+    from linref_spark.events.frame import materialize
+
+    # One (id, band, bucket) row per doc per band — tiny next to the
+    # shingle-explode signature pipeline that produces it. The plan uses it
+    # FOUR times (sizes, pruned, and both sides of the self-join), and the
+    # subtrees canonicalize differently (pushed filters), so without
+    # pinning, the whole explode + groupBy signature pass runs 4x.
+    buckets = materialize(
+        _minhash_buckets(
+            df, text_col, id_col, num_hashes, bands, shingle_k, hash_name
+        )
     )
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
@@ -272,8 +281,15 @@ def ngram_jaccard_pairs(
     sharing very popular shingles. Audit the number of capped shingles and
     affected rows with :func:`ngram_posting_drop_metrics`.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_k)).alias("_sh")
+    from linref_spark.events.frame import materialize
+
+    # the exploded posting table feeds FOUR consumers (doc sizes, posting
+    # sizes, both self-join sides) — pin it so the shingle explode runs once
+    sh = materialize(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_shingles(text_col, shingle_k)).alias("_sh"),
+        )
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     posting_sz = sh.groupBy("_sh").agg(F.count("*").alias("_p"))
@@ -409,7 +425,11 @@ def simhash_band_pairs(
     16 bits for xxhash64, 15 bits for md5long — catches all pairs with
     hamming distance <= 3 by pigeonhole). Buckets above ``max_bucket`` are
     dropped — audit with :func:`simhash_drop_metrics` (same ``hash_name``)."""
-    buckets = _simhash_buckets(df, text_col, id_col, hash_name)
+    from linref_spark.events.frame import materialize
+
+    # pinned for the same reason as minhash_lsh_pairs: the 64-vote simhash
+    # aggregation would otherwise re-run for sizes and both self-join sides
+    buckets = materialize(_simhash_buckets(df, text_col, id_col, hash_name))
     sizes = buckets.groupBy("_band", "_bucket").agg(F.count("*").alias("_n"))
     ok = sizes.where(F.col("_n") <= max_bucket).drop("_n")
     pruned = buckets.join(F.broadcast(ok), on=["_band", "_bucket"], how="inner")
