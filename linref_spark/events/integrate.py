@@ -30,6 +30,7 @@ from linref_spark.relate.join import (
     JoinStrategy,
     LEFT_ID,
     RIGHT_ID,
+    intersect_full,
     intersect_pairs,
 )
 
@@ -138,6 +139,36 @@ def integrate(
     related = (
         set(range(len(frames))) if relate_layers is None else set(relate_layers)
     )
+
+    # fast path: ONE related linear layer under expand + keep-matched-only
+    # (split_at_locs) — the relate join itself carries the interval columns
+    # (intersect_full), so the pair-table round-trip back onto the
+    # intervals (Exchange + Sort on the interval id for both sides) is
+    # skipped outright. Row multiset identical: one row per
+    # (interval, match), unmatched intervals dropped, exactly what the
+    # generic path's left join + index>=0 filter produces.
+    related_linear = [
+        i for i, (_, lrs) in enumerate(frames) if lrs.is_linear and i in related
+    ]
+    if expand and not fill_gaps and len(related_linear) == 1:
+        i = related_linear[0]
+        df_i, lrs_i = frames[i]
+        idx_col = f"index_{i}"
+        rel = intersect_full(
+            intervals, df_i, ilrs, lrs_i, enforce_edges=False,
+            strategy=strategy,
+        ).withColumnRenamed(RIGHT_ID, idx_col)
+        # mirrors the generic path's any_match filter exactly (a real
+        # match whose source id were negative would be dropped there too)
+        rel = rel.where(F.col(idx_col) >= 0)
+        for j in range(len(frames)):
+            if j != i:
+                rel = rel.withColumn(f"index_{j}", F.lit(-1).cast("long"))
+        return rel.select(
+            *keys, "beg", "end", EVENT_ID,
+            *[f"index_{j}" for j in range(len(frames))],
+        )
+
     out = intervals
     for i, (df, lrs) in enumerate(frames):
         idx_col = f"index_{i}"

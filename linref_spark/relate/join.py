@@ -32,6 +32,7 @@ All expressions are JVM-side (no UDFs anywhere in the join).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Optional, Union
 
@@ -103,6 +104,32 @@ AUTO = JoinStrategy("auto")
 AUTO_OCCUPANCY_THRESHOLD = 512
 # ... and size bins so the hottest group spreads to ~occ/target bins.
 AUTO_TARGET_OCCUPANCY = 64
+# Binning spreads a hot group along the measure axis, but MANY IDENTICAL
+# [beg, end] intervals all land in the same bins regardless of bin size —
+# when the worst duplicate count exceeds this, auto also salts the
+# (group, bin) key so the flood splits across reducers.
+AUTO_SALT_DUP_THRESHOLD = 4 * AUTO_TARGET_OCCUPANCY
+AUTO_SALT_MAX = 32
+
+# Memoized auto resolutions, keyed by the SEMANTIC hash of both narrow
+# input plans (+ the knobs that survive into the resolved strategy): a
+# facade chain that relates the same pair of frames N times pays ONE stats
+# probe instead of N. Identical semantic plans mean identical inputs, and
+# the resolved strategy only shapes the physical plan (results are
+# strategy-independent), so a hit can never change answers. Bounded LRU.
+_AUTO_CACHE: "OrderedDict[tuple, JoinStrategy]" = OrderedDict()
+_AUTO_CACHE_MAX = 256
+
+
+def _auto_cache_key(
+    lnarrow: DataFrame, rnarrow: DataFrame, strategy: "JoinStrategy"
+) -> Optional[tuple]:
+    try:
+        lh = lnarrow._jdf.queryExecution().analyzed().semanticHash()
+        rh = rnarrow._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - py4j surface changes
+        return None
+    return (lh, rh, strategy.broadcast, strategy.salt_buckets)
 
 
 def _require_event_id(df: DataFrame, side: str) -> None:
@@ -145,9 +172,11 @@ def _group_condition(llrs: LRS, rlrs: LRS) -> Optional[Column]:
 
 
 def _side_stats(narrow: DataFrame, lrs: LRS, side: str) -> DataFrame:
-    """Per-group (rows, interval-length sum, measure lo/hi) on a narrow
-    projection — partial-aggregated map-side, so the job is a scan plus a
-    tiny shuffle of one row per group."""
+    """Per-group (rows, interval-length sum, measure lo/hi, worst
+    duplicate-interval count) on a narrow projection. Two-level
+    aggregation in one job: partial-aggregated counts per exact
+    (group, interval), reduced to one row per group — the first level is
+    what exposes the max-duplicate count that drives auto-salting."""
     gcols = [f"{side}_g{i}" for i in range(len(lrs.key_cols))]
     if lrs.is_linear:
         lo, hi = F.col(f"{side}_beg"), F.col(f"{side}_end")
@@ -155,11 +184,16 @@ def _side_stats(narrow: DataFrame, lrs: LRS, side: str) -> DataFrame:
     else:
         lo = hi = F.col(f"{side}_loc")
         ln = F.lit(0.0)
-    return gcols, narrow.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias(f"{side}_n"),
-        F.sum(ln).alias(f"{side}_lensum"),
-        F.min(lo).alias(f"{side}_lo"),
-        F.max(hi).alias(f"{side}_hi"),
+    per_iv = narrow.groupBy(
+        *gcols, lo.alias("_lo"), hi.alias("_hi")
+    ).agg(F.count(F.lit(1)).alias("_dup"))
+    iv_len = F.col("_hi") - F.col("_lo")
+    return gcols, per_iv.groupBy(*gcols).agg(
+        F.sum("_dup").alias(f"{side}_n"),
+        F.sum(iv_len * F.col("_dup")).alias(f"{side}_lensum"),
+        F.min(F.col("_lo")).alias(f"{side}_lo"),
+        F.max(F.col("_hi")).alias(f"{side}_hi"),
+        F.max(F.col("_dup")).alias(f"{side}_dup"),
     )
 
 
@@ -200,6 +234,7 @@ def _resolve_auto(
             (F.sum("l_lensum") + F.sum("r_lensum"))
             / (F.sum("l_n") + F.sum("r_n"))
         ).alias("avg_len"),
+        F.max(F.greatest(F.col("l_dup"), F.col("r_dup"))).alias("max_dup"),
     ).first()
     equi = JoinStrategy("equi", broadcast=strategy.broadcast)
     if row is None or row["hot"] is None:
@@ -215,11 +250,20 @@ def _resolve_auto(
     bin_size = max(
         float(hot_span) * AUTO_TARGET_OCCUPANCY / float(hot_occ), avg_len
     )
+    salt = strategy.salt_buckets
+    max_dup = int(row["max_dup"] or 0)
+    if salt is None and max_dup > AUTO_SALT_DUP_THRESHOLD:
+        # binning cannot spread identical intervals (every copy covers the
+        # same bins); split the flooded (group, bin) reducer key instead.
+        # Results are unchanged — each candidate pair meets on one salt.
+        salt = max(
+            2, min(AUTO_SALT_MAX, -(-max_dup // AUTO_SALT_DUP_THRESHOLD))
+        )
     return JoinStrategy(
         "binned",
         bin_size=bin_size,
         broadcast=strategy.broadcast,
-        salt_buckets=strategy.salt_buckets,
+        salt_buckets=salt,
     )
 
 
@@ -281,7 +325,16 @@ def candidates(
     lnarrow = _narrow(left, llrs, "l", mod_edges)
     rnarrow = _narrow(right, rlrs, "r", mod_edges)
     if strategy.kind == "auto":
-        strategy = _resolve_auto(lnarrow, rnarrow, llrs, rlrs, strategy)
+        key = _auto_cache_key(lnarrow, rnarrow, strategy)
+        if key is not None and key in _AUTO_CACHE:
+            _AUTO_CACHE.move_to_end(key)
+            strategy = _AUTO_CACHE[key]
+        else:
+            strategy = _resolve_auto(lnarrow, rnarrow, llrs, rlrs, strategy)
+            if key is not None:
+                _AUTO_CACHE[key] = strategy
+                while len(_AUTO_CACHE) > _AUTO_CACHE_MAX:
+                    _AUTO_CACHE.popitem(last=False)
     if strategy.kind == "binned":
         return _candidates_binned(lnarrow, rnarrow, llrs, rlrs, strategy)
     rside = F.broadcast(rnarrow) if strategy.broadcast else rnarrow
@@ -361,6 +414,16 @@ def _pl_intersect_pred(
     return pred
 
 
+def _intersect_pred(llrs: LRS, rlrs: LRS, enforce_edges: bool) -> Column:
+    if llrs.is_point and rlrs.is_point:
+        return F.col("l_loc") == F.col("r_loc")
+    if llrs.is_point and rlrs.is_linear:
+        return _pl_intersect_pred("l", "r", rlrs, enforce_edges)
+    if llrs.is_linear and rlrs.is_point:
+        return _pl_intersect_pred("r", "l", llrs, enforce_edges)
+    return _ll_intersect_pred(llrs, rlrs, enforce_edges)
+
+
 def intersect_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -377,17 +440,45 @@ def intersect_pairs(
     """
     need_mod = enforce_edges and (llrs.closed_mod or rlrs.closed_mod)
     cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=need_mod)
-    if llrs.is_point and rlrs.is_point:
-        pred = F.col("l_loc") == F.col("r_loc")
-    elif llrs.is_point and rlrs.is_linear:
-        pred = _pl_intersect_pred("l", "r", rlrs, enforce_edges)
-    elif llrs.is_linear and rlrs.is_point:
-        pred = _pl_intersect_pred("r", "l", llrs, enforce_edges)
-    else:
-        pred = _ll_intersect_pred(llrs, rlrs, enforce_edges)
+    pred = _intersect_pred(llrs, rlrs, enforce_edges)
     return cand.where(pred).select(
         F.col("l_id").alias(LEFT_ID), F.col("r_id").alias(RIGHT_ID)
     )
+
+
+def intersect_full(
+    left: DataFrame,
+    right: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    enforce_edges: bool = True,
+    strategy: JoinStrategy = EQUI,
+) -> DataFrame:
+    """:func:`intersect_pairs`, but returning the LEFT side's narrow relate
+    columns (keys under their original names, measures, ``event_id``)
+    alongside each matching ``right_id``.
+
+    For callers that would otherwise join the bare pair table straight
+    back onto ``left`` (one row per match — integrate's ``expand``), this
+    skips that join entirely: the candidate join already carries the left
+    narrow columns, so projecting them out only to re-join them by id
+    costs an Exchange + Sort on the id for both sides. Same pair multiset
+    as ``intersect_pairs`` by construction (shared candidates + predicate).
+    """
+    need_mod = enforce_edges and (llrs.closed_mod or rlrs.closed_mod)
+    cand = candidates(left, right, llrs, rlrs, strategy, mod_edges=need_mod)
+    pred = _intersect_pred(llrs, rlrs, enforce_edges)
+    cols = [
+        F.col(f"l_g{i}").alias(k) for i, k in enumerate(llrs.key_cols)
+    ]
+    if llrs.is_linear:
+        cols.append(F.col("l_beg").alias(llrs.beg_col))
+        cols.append(F.col("l_end").alias(llrs.end_col))
+    if llrs.loc_col:
+        cols.append(F.col("l_loc").alias(llrs.loc_col))
+    cols.append(F.col("l_id").alias(EVENT_ID))
+    cols.append(F.col("r_id").alias(RIGHT_ID))
+    return cand.where(pred).select(*cols)
 
 
 def overlay_pairs(

@@ -710,7 +710,15 @@ def pq_topk(
     # coded table so the encode UDF runs once, not once per pass.
     nq = len(qids)
     if nq > pass_queries:
-        coded = coded.persist()
+        # reference-tracked materialization, NOT .persist(): checkpoint
+        # blocks are reclaimed by the ContextCleaner once the caller drops
+        # the result plan, so repeated large-query calls in a long-lived
+        # session do not accumulate pinned cached partitions (a bare
+        # persist lives in the CacheManager until an explicit unpersist
+        # that a lazy-result API has no safe place to issue)
+        from linref_spark.events.frame import materialize
+
+        coded = materialize(coded)
     parts = []
     for p0 in range(0, nq, pass_queries):
         p1 = min(p0 + pass_queries, nq)
@@ -858,19 +866,19 @@ def _exact_rerank(
     """Join candidate (query_id, neighbor_id) pairs back to their float
     vectors and keep the exact-cosine top ``k`` (deterministic ties by
     neighbor id). Shared tail of the PQ-coded serving paths."""
+    # cast + norm hoisted per row (see _cosine_pre)
     vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _cast_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _cast_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
     scored = cand.join(vecs, on="neighbor_id").join(F.broadcast(q), on="query_id")
     scored = scored.withColumn(
         "cos",
-        cosine(
-            F.transform(F.col("_qv"), lambda v: v.cast("double")),
-            F.transform(F.col("_cv"), lambda v: v.cast("double")),
-        ),
+        _cosine_pre(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -972,7 +980,10 @@ def ivfpq_topk(
     # ids per pass; the per-query window over the union is exact)
     nq = len(qids)
     if nq > pass_queries:
-        coded = coded.persist()
+        # materialize, not persist — see pq_topk (ContextCleaner-reclaimed)
+        from linref_spark.events.frame import materialize
+
+        coded = materialize(coded)
     parts = []
     for p0 in range(0, nq, pass_queries):
         p1 = min(p0 + pass_queries, nq)

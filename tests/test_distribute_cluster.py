@@ -270,3 +270,65 @@ def test_cluster_transitive_chain(spark):
     out = cluster(df, lrs, max_gap=0.6)
     labels = set(col_as_array(out, "cluster", 30))
     assert labels == {0}
+
+
+def test_distribute_rejects_duplicate_ids_that_cancel_a_gap(spark):
+    """[0,1,1,3] passes the span==count precondition (the duplicate cancels
+    the gap) — the in-plan adjacent-duplicate guard must still error at
+    execution instead of silently misaligning the positional window."""
+    left, llrs = make_events(
+        spark, begs=[0, 10, 20, 30], ends=[10, 20, 30, 40],
+        groups=["A"] * 4,
+    )
+    dup = left.withColumn(
+        "event_id",
+        # ids become [0, 1, 1, 3]
+        left.event_id - (left.event_id == 2).cast("long"),
+    )
+    right, rlrs = make_events(
+        spark, begs=[5], ends=[15], groups=["A"], extra={"val": [1.0]}
+    )
+    op = overlay_pairs(dup, right, llrs, rlrs)
+    with pytest.raises(Exception, match="duplicate target event ids"):
+        distribute(
+            op, dup, right, llrs, rlrs, value_col="val", decay_size=1
+        ).collect()
+
+
+def test_distribute_ungrouped_across_bucket_boundaries(spark):
+    """The ungrouped halo-window path replicates rows near bucket edges;
+    with fewer than bucket-size (>=64) targets every prior test ran in a
+    single bucket, leaving the halo logic uncovered. 200 contiguous
+    targets (multiple buckets at any parts count) must match the exact
+    per-position expectation of a middle-hit decay spread."""
+    n = 200
+    begs = [float(10 * i) for i in range(n)]
+    ends = [b + 10.0 for b in begs]
+    left, llrs = make_events(spark, begs=begs, ends=ends)
+    # one source intersecting exactly one target near a bucket boundary
+    # (event 63/64 edge at the floor bucket size) and one mid-frame
+    right, rlrs = make_events(
+        spark, begs=[635.0, 1001.0], ends=[638.0, 1004.0],
+        extra={"val": [1.0, 1.0]},
+    )
+    ip = intersect_pairs(left, right, llrs, rlrs)
+    out = distribute(
+        ip, left, right, llrs, rlrs, value_col="val", decay_size=3,
+        decay_func="linear", length_normalize=False,
+    )
+    got = [float(v) for v in col_as_array(out, "distributed", n)]
+    # brute-force oracle: spread w*decay over q+/-s, normalize per source
+    import math
+    cap = 4.0
+    dw = [1.0] + [1.0 - s / cap for s in range(1, 4)]
+    exp = [0.0] * n
+    for hit in (63, 100):
+        shares = {}
+        for s in range(-3, 4):
+            q = hit + s
+            if 0 <= q < n:
+                shares[q] = dw[abs(s)]
+        tot = sum(shares.values())
+        for q, v in shares.items():
+            exp[q] += v / tot
+    assert got == pytest.approx(exp, abs=1e-12)

@@ -427,3 +427,56 @@ def test_facade_relate_defaults_to_auto(spark):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
     n_eq = fr.relate(other, how="equal_groups").pairs.count()
     assert n_eq == 5  # 2x2 same-group pairs on A + 1 on B
+
+
+def test_auto_salts_duplicated_interval_flood(spark):
+    """MANY identical [beg, end] intervals in one group defeat binning
+    (every copy covers the same bins) — auto must pick salt_buckets, and
+    the salted pair multiset must equal the unsalted one."""
+    from linref_spark.relate.join import (
+        AUTO,
+        AUTO_SALT_DUP_THRESHOLD,
+        _narrow,
+        _resolve_auto,
+    )
+
+    n = AUTO_SALT_DUP_THRESHOLD * 2
+    # one flooded identical interval + a few distinct ones for span
+    begs = [10.0] * n + [0.0, 50.0, 90.0]
+    ends = [20.0] * n + [5.0, 60.0, 100.0]
+    left, llrs = make_events(
+        spark, begs=begs, ends=ends, groups=[1] * len(begs), closed="left"
+    )
+    ln = _narrow(left, llrs, "l", False)
+    rn = _narrow(left, llrs, "r", False)
+    resolved = _resolve_auto(ln, rn, llrs, llrs, AUTO)
+    assert resolved.kind == "binned"
+    assert resolved.salt_buckets is not None and resolved.salt_buckets >= 2
+
+    unsalted = JoinStrategy("binned", bin_size=resolved.bin_size)
+    n_salted = intersect_pairs(left, left, llrs, llrs, strategy=resolved).count()
+    n_plain = intersect_pairs(left, left, llrs, llrs, strategy=unsalted).count()
+    assert n_salted == n_plain
+
+
+def test_auto_probe_memoized_per_input_pair(spark, monkeypatch):
+    """An N-op chain over the same relate inputs must run ONE stats probe:
+    the auto resolution is memoized on the semantic hash of the narrow
+    input plans."""
+    import linref_spark.relate.join as J
+
+    calls = {"n": 0}
+    real = J._resolve_auto
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(J, "_resolve_auto", counting)
+    left, llrs = make_events(
+        spark, begs=[0, 5, 10], ends=[10, 15, 20], groups=[1, 1, 2],
+        closed="left",
+    )
+    for _ in range(3):
+        intersect_pairs(left, left, llrs, llrs, strategy=J.AUTO).count()
+    assert calls["n"] == 1
