@@ -133,7 +133,12 @@ def global_ordinal_id(
     )
     part = materialize(part)
     counts = part.groupBy("_ord_pid").agg(F.count(F.lit(1)).alias("_ord_n"))
-    w_off = Window.orderBy("_ord_pid").rowsBetween(
+    # deliberately single-partition: `counts` has one row per shuffle
+    # partition (tiny by construction). Partitioning by a constant is
+    # physically identical to an unpartitioned window (one hash partition)
+    # but keeps WindowExec's "No Partition Defined" WARN out of the logs,
+    # where it would bury real single-partition regressions.
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_ord_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn(
@@ -166,7 +171,11 @@ def dense_prefix_sum(
     )
     d = d.withColumn("_ps_loc", F.sum(F.col(val_col)).over(w_local))
     totals = d.groupBy("_ps_bk").agg(F.sum(F.col(val_col)).alias("_ps_bt"))
-    w_off = Window.orderBy("_ps_bk").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key = same single-partition plan, no WARN noise
+    # (totals is one row per bucket — tiny; see global_ordinal_id)
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_ps_bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = totals.withColumn(
         "_ps_off", F.coalesce(F.sum("_ps_bt").over(w_off), F.lit(0)).cast("long")
     ).drop("_ps_bt")

@@ -50,6 +50,12 @@ class Stage:
     inputs: Sequence[str] = field(default_factory=tuple)
     # version participates in the fingerprint: bump to force recompute
     version: str = "1"
+    # bucket_by: persist this stage's output hash-clustered on these
+    # columns (pipeline/bucketed.py) so downstream stages' equi/binned
+    # joins on them read co-located buckets with NO exchange of this
+    # side — the repeated-join shuffle eliminated at the storage layer.
+    bucket_by: Optional[Sequence[str]] = None
+    n_buckets: int = 64
 
 
 def _partition_counts(df: DataFrame) -> List[int]:
@@ -71,22 +77,70 @@ def _dir_bytes(path: str) -> int:
 
 
 class ParquetProvider:
-    """Atomic-rename parquet directories under ``base_dir``."""
+    """Atomic-rename parquet directories under ``base_dir``.
 
-    def __init__(self, base_dir: str):
+    Stages declaring ``bucket_by`` are written through ``saveAsTable``
+    (bucketed files + a catalog entry at the stage directory) and read
+    back through the catalog so the hash-clustering survives for
+    downstream joins; on a fresh session the table is re-registered from
+    the on-disk files via DDL, so resume works across restarts. Bucketed
+    writes commit through ``mode("overwrite")`` instead of the tmp-rename
+    (an external table's location is fixed at creation); the manifest
+    commit remains the atomicity point either way — a crashed write
+    leaves no committed manifest entry, and the rerun overwrites.
+    """
+
+    def __init__(self, base_dir: str, bucket_specs: Optional[dict] = None):
         self.base_dir = base_dir
+        # name -> (bucket_cols tuple, n_buckets)
+        self.bucket_specs = dict(bucket_specs or {})
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
+
+    def _table(self, name: str) -> str:
+        tag = hashlib.sha256(self.base_dir.encode()).hexdigest()[:8]
+        return f"linref_ckpt_{tag}_{name}"
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return os.path.exists(self._dir(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self._dir(name))
+        spec = self.bucket_specs.get(name)
+        if spec is None:
+            return spark.read.parquet(self._dir(name))
+        tbl = self._table(name)
+        if not spark.catalog.tableExists(tbl):
+            # fresh session resuming an existing checkpoint: re-register
+            # the bucketed external table from the on-disk files
+            cols, n = spec
+            schema = spark.read.parquet(self._dir(name)).schema
+            col_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({col_ddl}) USING parquet "
+                f"CLUSTERED BY ({', '.join(cols)}) INTO {n} BUCKETS "
+                f"LOCATION '{self._dir(name)}'"
+            )
+        return spark.table(tbl)
 
     def write(self, spark: SparkSession, name: str, df: DataFrame, fp: str) -> None:
         out_dir = self._dir(name)
+        spec = self.bucket_specs.get(name)
+        if spec is not None:
+            from linref_spark.pipeline.bucketed import save_bucketed
+
+            cols, n = spec
+            tbl = self._table(name)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            save_bucketed(
+                df, tbl, list(cols), n_buckets=n, path=out_dir,
+                mode="overwrite",
+            )
+            return
         tmp_dir = f"{out_dir}.tmp-{fp}"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
@@ -144,9 +198,9 @@ class IcebergProvider:
         return int(row["b"] or 0)
 
 
-def make_provider(fmt: str, base_dir: str, **kwargs):
+def make_provider(fmt: str, base_dir: str, bucket_specs=None, **kwargs):
     if fmt == "parquet":
-        return ParquetProvider(base_dir)
+        return ParquetProvider(base_dir, bucket_specs=bucket_specs)
     if fmt == "iceberg":
         return IcebergProvider(**kwargs)
     raise ValueError(f"Unknown checkpoint format: {fmt!r}")
@@ -163,7 +217,14 @@ class Pipeline:
     ):
         self.base_dir = base_dir
         self.stages = list(stages)
-        self.provider = provider or make_provider(format, base_dir, **provider_kwargs)
+        bucket_specs = {
+            s.name: (tuple(s.bucket_by), int(s.n_buckets))
+            for s in stages
+            if s.bucket_by
+        }
+        self.provider = provider or make_provider(
+            format, base_dir, bucket_specs=bucket_specs, **provider_kwargs
+        )
         names = [s.name for s in stages]
         if len(set(names)) != len(names):
             raise ValueError("Stage names must be unique")

@@ -28,6 +28,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let a table hash-clustered on a SUBSET of the join keys (e.g.
+        # route-bucketed tables under the (route, bin) binned join) satisfy
+        # co-partitioning — semantics-preserving (same route+bin rows still
+        # co-locate); elides the big-side exchange on bucketed checkpoints
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch sizing: the 10k-row default leaves narrow numeric
         # UDF batches overhead-bound (measured ~12% on the snap kernel at

@@ -107,18 +107,27 @@ def build_pipeline(rows: int, out_dir: str, partitions: int) -> Pipeline:
                 + F.col("loc_mp") / ROUTE_LEN * 2.0
             ).alias("y"),
         )
-        return project_points_tiled(
+        snapped = project_points_tiled(
             ins["routes"], pts, RLRS, buffer=5.0, res=6
         )
+        # mint the dense point ids HERE (canonical (route, loc) order), so
+        # the bucketed checkpoint persists them WITH the route clustering:
+        # mint-then-bucket keeps the exchange elision (pipeline/bucketed.py
+        # — id minting materializes through localCheckpoint, which erases
+        # partitioning info, so bucket-then-mint would lose it), and the
+        # downstream segments stage joins this — the BIG side at 10^12
+        # pages — without re-shuffling or re-minting it.
+        return add_event_id(snapped.drop("event_id"), PTS_LRS)
 
     def s_segments(spark, ins):
         segs = resegment(ins["routes"], RLRS, length=5.0, fill="balance").drop(
             "geom_m", "geom_xs", "geom_ys"
         )
-        pts = ins["snapped"].select(
-            "route_id", F.col("loc_mp"),
-        )
-        pts = add_event_id(pts, PTS_LRS)
+        # read straight off the route-bucketed checkpoint: the binned join
+        # keys (route_id, bin) are a superset of the bucket cols, so with
+        # requireAllClusterKeysForCoPartition=false this side joins with
+        # ZERO exchange (plan-asserted in tests/test_pipeline.py)
+        pts = ins["snapped"].select("route_id", "loc_mp", "event_id")
         pairs = intersect_pairs(
             segs, pts, SEG_LRS, PTS_LRS,
             strategy=JoinStrategy("binned", bin_size=5.0),
@@ -141,8 +150,14 @@ def build_pipeline(rows: int, out_dir: str, partitions: int) -> Pipeline:
             Stage("extracted", s_extracted, inputs=("pages",)),
             Stage("events", s_events, inputs=("extracted",)),
             Stage("routes", s_routes),
-            Stage("snapped", s_snapped, inputs=("events", "routes")),
-            Stage("segments", s_segments, inputs=("routes", "snapped")),
+            # bucketed by route: the segments stage's relate join reads
+            # co-located buckets instead of re-shuffling the page points
+            Stage(
+                "snapped", s_snapped, inputs=("events", "routes"),
+                version="2-bucketed", bucket_by=("route_id",), n_buckets=64,
+            ),
+            Stage("segments", s_segments, inputs=("routes", "snapped"),
+                  version="2-bucketed"),
             Stage("tiles", s_tiles, inputs=("snapped",)),
         ],
     )

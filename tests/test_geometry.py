@@ -377,3 +377,36 @@ def test_wkb_wkt_ingestion_fuzz(spark):
     byg = {r.gid: r for r in out}
     assert list(byg[0].g1["ms"]) == [0.0, 5.0, 11.0]
     assert list(byg[0].g2["ms"]) == [0.0, 5.0]
+
+
+def test_geopandas_gate_both_branches(spark):
+    """VERDICT r05 item 8: exercise the import gate in whichever state the
+    environment provides. Without geopandas, from_geopandas/to_geopandas
+    must raise the documented ImportError pointing at the WKB path; WITH
+    geopandas (the day the environment gains GEOS), the real conversion
+    round-trips geometry and CRS through the WKB hop."""
+    import pytest as _pytest
+
+    from linref_spark import interop as I
+
+    if not I.HAS_GEOPANDAS:
+        with _pytest.raises(ImportError, match="frame_from_wkb"):
+            I.from_geopandas(spark, object())
+        with _pytest.raises(ImportError, match="frame_from_wkb"):
+            I.to_geopandas(spark.range(1))
+        return
+
+    import geopandas as gpd
+    from shapely.geometry import LineString
+
+    gdf = gpd.GeoDataFrame(
+        {"name": ["a", "b"]},
+        geometry=[LineString([(0, 0), (3, 4)]), LineString([(1, 1), (4, 5)])],
+        crs="EPSG:4326",
+    )
+    sdf = I.from_geopandas(spark, gdf)
+    assert I.crs_of(sdf) == "EPSG:4326"
+    back = I.to_geopandas(sdf)
+    assert sorted(back["name"]) == ["a", "b"]
+    assert str(back.crs) == "EPSG:4326"
+    assert back.geometry.iloc[0].length > 0

@@ -322,21 +322,26 @@ def test_ordinal_storage_reclaimed(spark):
     rows = [(r, float(b), float(b + 2)) for r in range(5) for b in range(0, 40, 2)]
     base = spark.createDataFrame(rows, "route int, beg double, end double")
 
-    def n_persistent():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
 
-    def settle(target, seconds=60):
+    def settle_ids(watched, seconds=60):
         # drop python refs -> JVM refs -> ContextCleaner reclaims blocks
         # (python gc must run in the loop: py4j detaches JVM refs on PY gc,
         # and wrappers may become collectable only after earlier detaches)
         deadline = time.time() + seconds
-        n = n_persistent()
-        while time.time() < deadline and n > target:
+        remaining = persistent_ids() & watched
+        while time.time() < deadline and remaining:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.0)
-            n = n_persistent()
-        return n
+            remaining = persistent_ids() & watched
+        return remaining
 
     def run_iterations(n):
         for _ in range(n):
@@ -346,26 +351,25 @@ def test_ordinal_storage_reclaimed(spark):
             assert out.count() > 0
             del out
 
-    # WARMED baseline: other session tests hold their own cached frames,
-    # and the JVM retains a small steady-state window of recent-execution
-    # blocks — run the loop twice first so the baseline includes both,
-    # then assert the steady state does not GROW. A true per-call leak
-    # (the round-2 .persist()) adds ~2 pinned entries per iteration and
-    # fails this regardless of the baseline.
-    run_iterations(2)
-    baseline = settle(0, seconds=60)
+    # PER-ID accounting (de-flaked, round-6): the old form asserted on a
+    # wall-clock settle of the GLOBAL persistent-RDD count, so other
+    # tests' cached frames and host-weather ContextCleaner latency could
+    # move the number (it failed in-suite under a throttled window while
+    # passing in isolation). Instead: snapshot the persistent ids BEFORE
+    # the loop, and require only the ids the loop itself created to
+    # drain — blocks owned by other tests can neither help nor hurt.
+    run_iterations(2)  # warm the steady-state recent-execution window
+    pre = persistent_ids()
 
     run_iterations(8)
+    loop_ids = persistent_ids() - pre
 
-    # ContextCleaner runs asynchronously and System.gc() is only a hint:
-    # measured on this host, the same build settles to 0 in ~30 s on one
-    # run and retains ~5 recent-execution blocks past 240 s on another
-    # (A/B'd across commits — the retention does not track code changes).
-    # Allow half the true-leak signal as noise margin: the round-2
-    # .persist() pins ~2 entries per iteration forever (+16 here), so
-    # a +8 allowance still fails a real leak on every run.
-    settled = settle(baseline + 8, seconds=240)
-    assert settled <= baseline + 8, (baseline, settled)
+    # ContextCleaner runs asynchronously and System.gc() is only a hint;
+    # allow a small recently-executed tail. A true per-call leak (the
+    # round-2 .persist()) pins ~2 entries per iteration FOREVER (~16
+    # here), so a <=4 allowance still fails a real leak on every run.
+    remaining = settle_ids(loop_ids, seconds=240)
+    assert len(remaining) <= 4, (sorted(loop_ids), sorted(remaining))
 
 
 def test_consecutive_strings_rejects_hashed_ids(spark):

@@ -87,16 +87,28 @@ def main():
         key=lambda lv: abs(math.log(lv["effs"]["host_scale"] / 4.0)),
     )
     # per-metric best across rounds: the engine's demonstrated scaling
-    # when the host cooperates for that workload's window
+    # when the host cooperates for that workload's window. The max is a
+    # selection-biased estimator (max-of-noise reads high), so each entry
+    # also carries the cross-round MEDIAN and min/max spread — report the
+    # median as the headline and the max as "best observed" only.
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
     best_per_metric = {}
     for name in METRICS:
         for kind in ("", "_hostnorm"):
             key = f"eff_{name}{kind}"
-            ri, val = max(
-                enumerate(lv["effs"][key] for lv in rounds),
-                key=lambda t: t[1],
-            )
-            best_per_metric[key] = {"value": val, "round": ri}
+            vals = [lv["effs"][key] for lv in rounds]
+            ri, val = max(enumerate(vals), key=lambda t: t[1])
+            best_per_metric[key] = {
+                "value": val,
+                "round": ri,
+                "median": round(_median(vals), 3),
+                "min": round(min(vals), 3),
+                "max": round(max(vals), 3),
+            }
     result = {
         "rounds": [
             {"8": lv[8], "32": lv[32], "effs": lv["effs"]} for lv in rounds
@@ -119,18 +131,21 @@ def main():
         "pages_rollup": "pages leg: rollup",
     }
     per_metric_md = "\n".join(
-        "| {} | {:.3f} (r{}) | {:.3f} (r{}) |".format(
+        "| {} | {:.3f} | {:.3f} (r{}) | {:.3f} | {:.3f} (r{}) |".format(
             labels[name],
+            best_per_metric[f"eff_{name}"]["median"],
             best_per_metric[f"eff_{name}"]["value"],
             best_per_metric[f"eff_{name}"]["round"],
+            best_per_metric[f"eff_{name}_hostnorm"]["median"],
             best_per_metric[f"eff_{name}_hostnorm"]["value"],
             best_per_metric[f"eff_{name}_hostnorm"]["round"],
         )
         for name in METRICS
     )
     per_metric_md = (
-        "| workload | best eff (/4) | best eff (host-normalized) |\n"
-        "|---|---|---|\n" + per_metric_md
+        "| workload | median eff (/4) | best eff | median (host-norm) "
+        "| best (host-norm) |\n"
+        "|---|---|---|---|---|\n" + per_metric_md
     )
     md = f"""
 
