@@ -286,10 +286,12 @@ class LinrefFrame:
 
     def project(self, points: DataFrame, **kw) -> DataFrame:
         """Snap a point table onto this frame's route geometries
-        (tile-prefiltered spatial kNN; ``LRS_Accessor.project``)."""
-        from linref_spark.spatial.join import project_points_tiled
+        (spatial kNN; ``LRS_Accessor.project``). Auto-selects the
+        broadcast-geometry kernel for small route tables and the
+        tile-partitioned one for large networks (spatial/join.py)."""
+        from linref_spark.spatial.join import project_points
 
-        return project_points_tiled(self.df, points, self.lrs, **kw)
+        return project_points(self.df, points, self.lrs, **kw)
 
     def split_at_geometry(self, mask_xs, mask_ys, **kw) -> "LinrefFrame":
         """Split events wherever a mask polyline/polygon crosses their

@@ -283,9 +283,14 @@ def project_points(
     cand = points.crossJoin(
         F.broadcast(routes.select(*route_lrs.key_cols, geom_col))
     )
+    # asNondeterministic: the buffer filter references the UDF output —
+    # stops the optimizer from evaluating the kernel twice per candidate
+    # (see linref_spark/spatial/join.py snap UDFs)
     cand = cand.withColumn(
         dist_col,
-        udf_point_line_distance(g["xs"], g["ys"], F.col(x_col), F.col(y_col)),
+        udf_point_line_distance.asNondeterministic()(
+            g["xs"], g["ys"], F.col(x_col), F.col(y_col)
+        ),
     )
     if buffer is not None:
         cand = cand.where(F.col(dist_col) <= buffer)

@@ -241,7 +241,11 @@ def match_lines_hausdorff(
         # co-locate candidates of one target inside Arrow batches so the
         # fused UDF projects all of a target's endpoints in one pass
         cand = cand.repartition(F.col("_tid")).sortWithinPartitions("_tid")
-    udf_match = _make_match_udf(densify)
+    # asNondeterministic: the hausdorff<=max_distance filter below
+    # references the UDF's output — without the flag the optimizer pushes
+    # a COPY of the filter under the projection and evaluates the match
+    # kernel twice per candidate (see spatial/join.py snap UDFs)
+    udf_match = _make_match_udf(densify).asNondeterministic()
     tg, pgc = F.col("_tg"), F.col("_pg")
     scored = cand.withColumn(
         "_m",
@@ -362,7 +366,8 @@ def parallel_project_samples(
 
     hits = sp.join(tt, on="tile_id").drop("tile_id")
     tg = F.col("_tg")
-    snap = udf_snap_by_geom(
+    # asNondeterministic: same duplicated-UDF-under-pushed-filter hazard
+    snap = udf_snap_by_geom.asNondeterministic()(
         F.col("_tid"), tg["xs"], tg["ys"], tg["ms"], F.col("_sx"), F.col("_sy")
     )
     hits = hits.withColumn("_d", snap["dist"]).where(F.col("_d") <= buffer)

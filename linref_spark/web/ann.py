@@ -521,7 +521,11 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         _cast_double(F.col(vec_col)).alias("_cv"),
     ).withColumn("_cn", _norm(F.col("_cv"))).withColumn(
-        "_cid", F.element_at(assign1(F.col("_cv")), 1)
+        # asNondeterministic: the join on _cid infers an IS NOT NULL that
+        # would otherwise duplicate the corpus-wide assign matmul (legal
+        # here — Project call site; the explode() use below must stay
+        # deterministic, Generate rejects nondeterministic children)
+        "_cid", F.element_at(assign1.asNondeterministic()(F.col("_cv")), 1)
     )
     qb = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -638,7 +642,12 @@ def with_pq_codes(
             codes[:, j] = (norms2[j][None, :] - 2.0 * (Xi @ books[j].T)).argmin(1)
         return pd.Series([None if null[i] else codes[i] for i in range(n)])
 
-    return df.withColumn(out_col, _encode(F.col(vec_col)))
+    # asNondeterministic: callers filter on pq_code IS NOT NULL — without
+    # the flag the optimizer pushes a copy of that filter below the
+    # projection and the whole-corpus encode matmul runs TWICE (two
+    # ArrowEvalPython nodes over the same scan). Pure function; the flag
+    # only stops the duplication. (Safe here: always used via Project.)
+    return df.withColumn(out_col, _encode.asNondeterministic()(F.col(vec_col)))
 
 
 def pq_topk(
@@ -967,7 +976,12 @@ def ivfpq_topk(
     allowed[np.arange(len(qids))[:, None], part] = True
     spark = corpus.sparkSession
 
-    assign1 = make_ivf_assign_udf(centroids, 1)
+    # asNondeterministic on the assign call: the notNull filter below
+    # otherwise duplicates BOTH corpus-wide matmuls (encode is flagged in
+    # with_pq_codes; this is a Project call site, so the flag is legal —
+    # the explode() uses elsewhere must stay deterministic, Generate
+    # rejects nondeterministic children)
+    assign1 = make_ivf_assign_udf(centroids, 1).asNondeterministic()
     coded = with_pq_codes(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         books, vec_col, "pq_code",

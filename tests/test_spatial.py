@@ -160,3 +160,24 @@ def test_project_points_broadcast_matches_tiled(spark, roads):
     ga = sorted((r.event_id, r.route, round(r.loc_mp, 9)) for r in a.collect())
     gb = sorted((r.event_id, r.route, round(r.loc_mp, 9)) for r in b.collect())
     assert ga == gb
+
+
+def test_project_points_auto_selects_by_route_count(spark, roads):
+    """The auto dispatcher must pick the broadcast kernel under the
+    threshold and the tiled kernel above it, with identical results."""
+    from linref_spark.spatial.join import project_points
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 0.05), (2, 15.0, 0.02), (3, 7.0, 10.1), (4, 500.0, 500.0)],
+        ["event_id", "x", "y"],
+    )
+    a = project_points(roads, pts, ROADS_LRS, buffer=1.0, res=6)
+    # force the tiled branch by setting the broadcast cap below the count
+    b = project_points(
+        roads, pts, ROADS_LRS, buffer=1.0, res=6, max_broadcast_routes=0
+    )
+    ka = sorted((r["event_id"], r["route"], round(r["snap_dist"], 9),
+                 round(r["loc_mp"], 9)) for r in a.collect())
+    kb = sorted((r["event_id"], r["route"], round(r["snap_dist"], 9),
+                 round(r["loc_mp"], 9)) for r in b.collect())
+    assert ka == kb and len(ka) > 0
