@@ -32,6 +32,7 @@ from linref_spark.relate.join import (
     RIGHT_ID,
     intersect_full,
     intersect_pairs,
+    resolve_auto,
 )
 
 
@@ -86,6 +87,34 @@ def integrate(
         all_edges = all_edges.unionByName(ef)
     uniq = all_edges.distinct()
 
+    related = (
+        set(range(len(frames))) if relate_layers is None else set(relate_layers)
+    )
+    related_linear = [
+        i for i, (_, lrs) in enumerate(frames) if lrs.is_linear and i in related
+    ]
+    fast_single = (
+        not dense_ids
+        and expand
+        and not fill_gaps
+        and len(related_linear) == 1
+    )
+
+    # Resolve an AUTO strategy ONCE, against the source layers instead of
+    # the derived interval table: the interval plan is minted fresh every
+    # call (localCheckpoint / new hash), so probing it defeats the
+    # resolution memo, while the source layers are stable inputs whose
+    # probe result is cacheable across calls — and per-group interval
+    # occupancy is bounded by the union of the layers' edge counts, so
+    # the layer stats drive the same physical decision. One probe serves
+    # every layer's relate-back (it only shapes the physical plan).
+    if strategy.kind == "auto" and related_linear:
+        proxy = next(
+            ((df, lrs) for df, lrs in frames if lrs.is_linear), frames[0]
+        )
+        r0_df, r0_lrs = frames[related_linear[0]]
+        strategy = resolve_auto(proxy[0], r0_df, proxy[1], r0_lrs, strategy)
+
     # --- adjacent edge pairs -> intervals ----------------------------------
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col("_edge"))
     intervals = (
@@ -130,15 +159,19 @@ def integrate(
         # reclaimed when the caller drops the plan. materialize() upgrades
         # to reliable checkpoint() when a checkpoint dir is set (cluster
         # executor-loss safety — see events/frame.py:materialize).
-        from linref_spark.events.frame import materialize
+        # SKIPPED on the single-layer fast path: the md5 ids are a pure
+        # function of the data (separate instantiations agree, unlike the
+        # ordinal path), and with the auto probe resolved against the
+        # source layers the interval table has exactly ONE consumer — the
+        # eager checkpoint would be a pure materialization barrier in the
+        # middle of an otherwise fully pipelined query.
+        if not fast_single:
+            from linref_spark.events.frame import materialize
 
-        intervals = materialize(intervals)
+            intervals = materialize(intervals)
     ilrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
 
     # --- relate intervals back to each layer --------------------------------
-    related = (
-        set(range(len(frames))) if relate_layers is None else set(relate_layers)
-    )
 
     # fast path: ONE related linear layer under expand + keep-matched-only
     # (split_at_locs) — the relate join itself carries the interval columns
@@ -147,9 +180,6 @@ def integrate(
     # skipped outright. Row multiset identical: one row per
     # (interval, match), unmatched intervals dropped, exactly what the
     # generic path's left join + index>=0 filter produces.
-    related_linear = [
-        i for i, (_, lrs) in enumerate(frames) if lrs.is_linear and i in related
-    ]
     if expand and not fill_gaps and len(related_linear) == 1:
         i = related_linear[0]
         df_i, lrs_i = frames[i]

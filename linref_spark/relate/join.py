@@ -267,6 +267,46 @@ def _resolve_auto(
     )
 
 
+def _resolve_auto_cached(
+    lnarrow: DataFrame,
+    rnarrow: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    strategy: JoinStrategy,
+) -> JoinStrategy:
+    key = _auto_cache_key(lnarrow, rnarrow, strategy)
+    if key is not None and key in _AUTO_CACHE:
+        _AUTO_CACHE.move_to_end(key)
+        return _AUTO_CACHE[key]
+    resolved = _resolve_auto(lnarrow, rnarrow, llrs, rlrs, strategy)
+    if key is not None:
+        _AUTO_CACHE[key] = resolved
+        while len(_AUTO_CACHE) > _AUTO_CACHE_MAX:
+            _AUTO_CACHE.popitem(last=False)
+    return resolved
+
+
+def resolve_auto(
+    left: DataFrame,
+    right: DataFrame,
+    llrs: LRS,
+    rlrs: LRS,
+    strategy: JoinStrategy = AUTO,
+) -> JoinStrategy:
+    """Resolve an 'auto' strategy against a frame pair (memoized on the
+    semantic hash of the narrow plans). For callers that relate a DERIVED
+    frame (integrate's per-call interval table): probing the derived frame
+    defeats the memo — every call mints a fresh plan — while probing the
+    stable SOURCE layers both hits the cache on repeat calls and measures
+    the same group structure. Any resolution is correct (strategy shapes
+    the physical plan only)."""
+    if strategy.kind != "auto":
+        return strategy
+    lnarrow = _narrow(left, llrs, "l", False)
+    rnarrow = _narrow(right, rlrs, "r", False)
+    return _resolve_auto_cached(lnarrow, rnarrow, llrs, rlrs, strategy)
+
+
 def _candidates_binned(
     lnarrow: DataFrame,
     rnarrow: DataFrame,
@@ -325,16 +365,7 @@ def candidates(
     lnarrow = _narrow(left, llrs, "l", mod_edges)
     rnarrow = _narrow(right, rlrs, "r", mod_edges)
     if strategy.kind == "auto":
-        key = _auto_cache_key(lnarrow, rnarrow, strategy)
-        if key is not None and key in _AUTO_CACHE:
-            _AUTO_CACHE.move_to_end(key)
-            strategy = _AUTO_CACHE[key]
-        else:
-            strategy = _resolve_auto(lnarrow, rnarrow, llrs, rlrs, strategy)
-            if key is not None:
-                _AUTO_CACHE[key] = strategy
-                while len(_AUTO_CACHE) > _AUTO_CACHE_MAX:
-                    _AUTO_CACHE.popitem(last=False)
+        strategy = _resolve_auto_cached(lnarrow, rnarrow, llrs, rlrs, strategy)
     if strategy.kind == "binned":
         return _candidates_binned(lnarrow, rnarrow, llrs, rlrs, strategy)
     rside = F.broadcast(rnarrow) if strategy.broadcast else rnarrow
