@@ -12,8 +12,11 @@ when ``expand=True``). ``fill_gaps`` keeps intervals no layer matched.
 Spark-first: the edge union is ``unionByName + explode + distinct`` (one
 shuffle on (keys, edge)); intervals come from a ``lead`` window per group;
 the relate-back reuses :func:`linref_spark.relate.join.intersect_pairs`;
-expansion is a sequential ``explode`` per layer (row growth = product of
-per-layer match counts — exactly the reference's ``itertools.product``).
+expansion is a sequential left JOIN per layer (row growth = product of
+per-layer match counts — exactly the reference's ``itertools.product``,
+as a join instead of collect_list + explode). The single-related-layer
+expand case (split_at_locs) short-circuits further: the relate join
+itself carries the interval columns (``intersect_full``), no join-back.
 """
 
 from __future__ import annotations

@@ -431,9 +431,12 @@ class LinrefFrame:
 
         NOTE: the stats probe is an extra action over the inputs' NARROW
         projections (keys + measures; Catalyst prunes the rest), so it
-        re-executes that slice of upstream lineage. When this frame is
-        the tail of an expensive unpersisted chain, either persist the
-        frame first or pass an explicit ``EQUI``/binned strategy."""
+        re-executes that slice of upstream lineage. The resolution is
+        MEMOIZED on the semantic hash of the narrow plans (round 6), so
+        an N-op chain over the same frames probes once; a frame at the
+        tail of an expensive unpersisted chain still pays that first
+        probe — persist it first or pass an explicit ``EQUI``/binned
+        strategy."""
         if how == "intersect":
             pairs = intersect_pairs(
                 self.df, other.df, self.lrs, other.lrs, strategy=strategy, **kw

@@ -39,7 +39,10 @@ construction). The plan therefore runs:
 1. ``S(q)``: positional lead/lag window over the TARGET rows (grouped:
    partitioned by route; ungrouped: partitioned by dense-ordinal buckets
    with decay_size halo replication — no SinglePartition);
-2. ``tot_j``: join matches to S(q) on position, groupBy source — O(P);
+2. ``tot_j``: a partition window (by source) over the matches joined to
+   S(q) — computed on the SAME joined table that feeds step 3, so the
+   match-pairs subtree executes once (a groupBy-then-rejoin form would
+   instantiate the upstream pairs join twice) — O(P);
 3. ``A(q) = sum_j w * v_j / tot_j`` per match position — O(P);
 4. spread: the same positional window over A, scaled by len(r).
 
