@@ -96,27 +96,45 @@ def integrate(
     related_linear = [
         i for i, (_, lrs) in enumerate(frames) if lrs.is_linear and i in related
     ]
-    fast_single = (
-        not dense_ids
-        and expand
-        and not fill_gaps
-        and len(related_linear) == 1
-    )
+    fast_path = expand and not fill_gaps and len(related_linear) == 1
+    fast_single = fast_path and not dense_ids
 
-    # Resolve an AUTO strategy ONCE, against the source layers instead of
-    # the derived interval table: the interval plan is minted fresh every
-    # call (localCheckpoint / new hash), so probing it defeats the
-    # resolution memo, while the source layers are stable inputs whose
-    # probe result is cacheable across calls — and per-group interval
-    # occupancy is bounded by the union of the layers' edge counts, so
-    # the layer stats drive the same physical decision. One probe serves
-    # every layer's relate-back (it only shapes the physical plan).
+    # Resolve an AUTO strategy ONCE, against a stable stand-in for the
+    # derived interval table: the interval plan is minted fresh every
+    # call (localCheckpoint / new hash), so probing IT defeats the
+    # resolution memo. The stand-in is the UNION of every layer's narrow
+    # measure rows (point layers as zero-length [loc, loc]) — a pure
+    # function of the stable source plans, so its semantic hash (and the
+    # memo) holds across calls, and its per-group row count tracks the
+    # interval occupancy within 2x (each linear row contributes two
+    # edges). Probing any single layer instead would miss a hot group
+    # contributed by a different layer — e.g. a dense point layer
+    # splitting a sparse subject would go unseen and the relate-back
+    # would run equi against millions of intervals on one route.
+    # Resolution shapes the physical plan only; results are unaffected.
     if strategy.kind == "auto" and related_linear:
-        proxy = next(
-            ((df, lrs) for df, lrs in frames if lrs.is_linear), frames[0]
-        )
         r0_df, r0_lrs = frames[related_linear[0]]
-        strategy = resolve_auto(proxy[0], r0_df, proxy[1], r0_lrs, strategy)
+        proxy_parts = []
+        for df_k, lrs_k in frames:
+            sel = [
+                F.col(k).alias(nk) for k, nk in zip(lrs_k.key_cols, keys)
+            ]
+            if lrs_k.is_linear:
+                sel.append(F.col(lrs_k.beg_col).cast("double").alias("beg"))
+                sel.append(F.col(lrs_k.end_col).cast("double").alias("end"))
+            elif lrs_k.is_located:
+                sel.append(F.col(lrs_k.loc_col).cast("double").alias("beg"))
+                sel.append(F.col(lrs_k.loc_col).cast("double").alias("end"))
+            else:
+                continue
+            proxy_parts.append(
+                df_k.select(*sel).withColumn(EVENT_ID, F.lit(0).cast("long"))
+            )
+        proxy = proxy_parts[0]
+        for pp in proxy_parts[1:]:
+            proxy = proxy.unionByName(pp)
+        plrs = LRS(key_cols=tuple(keys), beg_col="beg", end_col="end")
+        strategy = resolve_auto(proxy, r0_df, plrs, r0_lrs, strategy)
 
     # --- adjacent edge pairs -> intervals ----------------------------------
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col("_edge"))
@@ -183,7 +201,7 @@ def integrate(
     # skipped outright. Row multiset identical: one row per
     # (interval, match), unmatched intervals dropped, exactly what the
     # generic path's left join + index>=0 filter produces.
-    if expand and not fill_gaps and len(related_linear) == 1:
+    if fast_path:
         i = related_linear[0]
         df_i, lrs_i = frames[i]
         idx_col = f"index_{i}"

@@ -80,14 +80,13 @@ class ParquetProvider:
     """Atomic-rename parquet directories under ``base_dir``.
 
     Stages declaring ``bucket_by`` are written through ``saveAsTable``
-    (bucketed files + a catalog entry at the stage directory) and read
-    back through the catalog so the hash-clustering survives for
-    downstream joins; on a fresh session the table is re-registered from
-    the on-disk files via DDL, so resume works across restarts. Bucketed
-    writes commit through ``mode("overwrite")`` instead of the tmp-rename
-    (an external table's location is fixed at creation); the manifest
-    commit remains the atomicity point either way — a crashed write
-    leaves no committed manifest entry, and the rerun overwrites.
+    into the same tmp-dir + atomic-rename protocol as plain parquet (the
+    temporary catalog entry points at the tmp dir and is dropped after
+    the write; the files keep their bucket-id names), then the FINAL
+    directory is registered via DDL — the same DDL a fresh session uses
+    to resume — so the hash-clustering AND the within-bucket sort order
+    survive for downstream joins across restarts, and a crashed write
+    can never leave a committed-looking partial directory.
     """
 
     def __init__(self, base_dir: str, bucket_specs: Optional[dict] = None):
@@ -99,51 +98,74 @@ class ParquetProvider:
         return os.path.join(self.base_dir, name)
 
     def _table(self, name: str) -> str:
+        # the session catalog only allows [A-Za-z0-9_] in relation names
+        # (quoting does not help), so sanitize the stage name and append a
+        # short hash of the RAW name — 'a-b' and 'a_b' must not collide
+        import re
+
         tag = hashlib.sha256(self.base_dir.encode()).hexdigest()[:8]
-        return f"linref_ckpt_{tag}_{name}"
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        ntag = hashlib.sha256(name.encode()).hexdigest()[:4]
+        return f"linref_ckpt_{tag}_{safe}_{ntag}"
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return os.path.exists(self._dir(name))
+
+    def _register(self, spark: SparkSession, name: str) -> None:
+        """(Re-)register the bucketed external table over the FINAL stage
+        directory. Identifiers are backquoted (stage names may carry
+        dashes etc.) and the within-bucket sort spec is declared too —
+        ``save_bucketed`` sorts by the bucket cols by default, and a
+        registration that omitted SORTED BY would silently re-sort every
+        bucket in downstream sort-merge joins after a session restart."""
+        cols, n = self.bucket_specs[name]
+        tbl = self._table(name)
+        schema = spark.read.parquet(self._dir(name)).schema
+        col_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        quoted = ", ".join(f"`{c}`" for c in cols)
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        spark.sql(
+            f"CREATE TABLE `{tbl}` ({col_ddl}) USING parquet "
+            f"CLUSTERED BY ({quoted}) SORTED BY ({quoted}) INTO {n} BUCKETS "
+            f"LOCATION '{self._dir(name)}'"
+        )
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         spec = self.bucket_specs.get(name)
         if spec is None:
             return spark.read.parquet(self._dir(name))
         tbl = self._table(name)
-        if not spark.catalog.tableExists(tbl):
-            # fresh session resuming an existing checkpoint: re-register
-            # the bucketed external table from the on-disk files
-            cols, n = spec
-            schema = spark.read.parquet(self._dir(name)).schema
-            col_ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {tbl} ({col_ddl}) USING parquet "
-                f"CLUSTERED BY ({', '.join(cols)}) INTO {n} BUCKETS "
-                f"LOCATION '{self._dir(name)}'"
-            )
-        return spark.table(tbl)
+        if not spark.catalog.tableExists(f"`{tbl}`"):
+            # fresh session resuming an existing checkpoint
+            self._register(spark, name)
+        return spark.table(f"`{tbl}`")
 
     def write(self, spark: SparkSession, name: str, df: DataFrame, fp: str) -> None:
         out_dir = self._dir(name)
+        tmp_dir = f"{out_dir}.tmp-{fp}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
         spec = self.bucket_specs.get(name)
         if spec is not None:
             from linref_spark.pipeline.bucketed import save_bucketed
 
             cols, n = spec
-            tbl = self._table(name)
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            if os.path.exists(out_dir):
-                shutil.rmtree(out_dir)
+            tmp_tbl = f"{self._table(name)}_tmp"
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
             save_bucketed(
-                df, tbl, list(cols), n_buckets=n, path=out_dir,
+                df, f"`{tmp_tbl}`", list(cols), n_buckets=n, path=tmp_dir,
                 mode="overwrite",
             )
+            # drop the tmp catalog entry (external: files stay), publish
+            # the directory atomically, then register the final location
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
+            if os.path.exists(out_dir):
+                shutil.rmtree(out_dir)
+            os.replace(tmp_dir, out_dir)
+            self._register(spark, name)
             return
-        tmp_dir = f"{out_dir}.tmp-{fp}"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
         df.write.mode("overwrite").parquet(tmp_dir)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)

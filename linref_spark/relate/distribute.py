@@ -39,10 +39,10 @@ construction). The plan therefore runs:
 1. ``S(q)``: positional lead/lag window over the TARGET rows (grouped:
    partitioned by route; ungrouped: partitioned by dense-ordinal buckets
    with decay_size halo replication — no SinglePartition);
-2. ``tot_j``: a partition window (by source) over the matches joined to
-   S(q) — computed on the SAME joined table that feeds step 3, so the
-   match-pairs subtree executes once (a groupBy-then-rejoin form would
-   instantiate the upstream pairs join twice) — O(P);
+2. ``tot_j``: join matches to S(q) on position, groupBy source — O(P)
+   with map-side combine (see the in-function note for why this is NOT
+   a window over the joined table: windows cannot skew-split a hot
+   source);
 3. ``A(q) = sum_j w * v_j / tot_j`` per match position — O(P);
 4. spread: the same positional window over A, scaled by len(r).
 
@@ -346,15 +346,26 @@ def distribute(
     # per-source totals: tot_j = sum over matches of w * S(q)
     # (relate.py:1501-1512). S(q) sums dw*len over the positions the match
     # would spread to — identical to summing the exploded contributions.
-    # Computed as a partition window over the SAME joined table, so the
-    # match-pairs subtree executes ONCE: the previous groupBy-then-rejoin
-    # form re-ran the entire upstream pairs join a second time for the
-    # rejoin (two identical BroadcastHashJoin subtrees in the plan).
-    ps = p.join(s_q, on="_q")
-    tot_w = Window.partitionBy("_j")
-    pj = ps.withColumn(
-        "_tot", F.sum(F.col("_w") * F.col("_S")).over(tot_w)
-    ).drop("_S")
+    #
+    # DELIBERATELY a groupBy + rejoin, not a Window.partitionBy(_j) sum
+    # over the joined table: the window form would run the pairs subtree
+    # once instead of twice, but it funnels EVERY match row of a hot
+    # source into a single window partition with no map-side combine and
+    # no AQE skew splitting (skew handling applies to joins and
+    # aggregations, not windows) — a one-task straggler at the 10^12-row
+    # target the moment one source matches a large fraction of a route.
+    # The groupBy partial-aggregates map-side (tot is <= one row per
+    # source before the shuffle) and the rejoin is AQE-broadcastable /
+    # skew-splittable; the duplicated pairs subtree is the lesser cost,
+    # and dedupes to a ReusedExchange whenever the caller's pair table is
+    # itself a shuffle output. (A/B at sf0.1: the two forms are within
+    # noise locally — 2.4-2.7 s vs 2.5-2.8 s isolated.)
+    tot = (
+        p.join(s_q, on="_q")
+        .groupBy("_j")
+        .agg(F.sum(F.col("_w") * F.col("_S")).alias("_tot"))
+    )
+    pj = p.join(tot, on="_j")
 
     # per-position normalized source mass: A(q) = sum_j w * v_j / tot_j
     # (tot == 0 implies every contribution is zero — dividing by 1 keeps

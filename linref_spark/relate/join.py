@@ -180,10 +180,8 @@ def _side_stats(narrow: DataFrame, lrs: LRS, side: str) -> DataFrame:
     gcols = [f"{side}_g{i}" for i in range(len(lrs.key_cols))]
     if lrs.is_linear:
         lo, hi = F.col(f"{side}_beg"), F.col(f"{side}_end")
-        ln = hi - lo
     else:
         lo = hi = F.col(f"{side}_loc")
-        ln = F.lit(0.0)
     per_iv = narrow.groupBy(
         *gcols, lo.alias("_lo"), hi.alias("_hi")
     ).agg(F.count(F.lit(1)).alias("_dup"))

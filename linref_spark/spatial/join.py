@@ -78,9 +78,18 @@ def project_points(
         routes.limit(max_broadcast_routes + 1).count() <= max_broadcast_routes
     )
     if small:
+        # forward only the kwargs the broadcast kernel accepts
+        # (tiled-only knobs like batch_cluster/broadcast_routes are
+        # meaningless there and would TypeError); the count above already
+        # proved the bound, so skip the kernel's own guard re-count
+        import inspect
+
+        bc_params = inspect.signature(project_points_broadcast).parameters
+        bkw = {k: v for k, v in kw.items() if k in bc_params}
+        bkw.setdefault("max_routes", max_broadcast_routes)
         return project_points_broadcast(
             routes, points, route_lrs, buffer, res=res,
-            max_routes=max_broadcast_routes, **kw,
+            _skip_route_guard=True, **bkw,
         )
     return project_points_tiled(routes, points, route_lrs, buffer, res=res, **kw)
 
@@ -343,6 +352,7 @@ def project_points_broadcast(
     loc_col: str = "loc_mp",
     dist_col: str = "snap_dist",
     max_routes: int = 200_000,
+    _skip_route_guard: bool = False,
 ) -> DataFrame:
     """Snap with the route geometry held in a Spark broadcast variable.
 
@@ -372,7 +382,9 @@ def project_points_broadcast(
             *keys,
             geom_col,
         )
-    if rsel.limit(max_routes + 1).count() > max_routes:
+    # _skip_route_guard: the project_points dispatcher already counted the
+    # route table under the same bound — don't re-run its lineage
+    if not _skip_route_guard and rsel.limit(max_routes + 1).count() > max_routes:
         raise ValueError(
             f"project_points_broadcast: route table exceeds max_routes="
             f"{max_routes}; collecting it would risk a driver OOM. Use "

@@ -250,4 +250,4 @@ def test_pipeline_bucketed_stage_joins_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for s in ("big", "small"):
-            spark.sql(f"DROP TABLE IF EXISTS linref_ckpt_{__import__('hashlib').sha256(base.encode()).hexdigest()[:8]}_{s}")
+            spark.sql(f"DROP TABLE IF EXISTS `{pipe.provider._table(s)}`")
